@@ -1,0 +1,238 @@
+"""Reference-style CPU baseline for the benchmark's ``vs_baseline`` ratio.
+
+The reference stack (PyTorch + PyG + torch-scatter on CPU/GPU) is not
+installable here, so this module re-creates its *hot path* faithfully in
+plain torch — ragged edge-list gather/scatter SchNet with dual heads, a
+per-conformer 2-layer GAT, and the per-molecule Python-loop FGW barycenter
+with the hardcoded 5/5/5 entropic solver — and measures forward+backward+
+Adam step throughput on CPU. This mirrors how the reference would run on the
+same host, giving an honest denominator for conformer-graphs/sec speedups.
+
+This is an original implementation for benchmarking only (not part of the
+TPU framework); iteration counts and dataflow follow the call stack in
+SURVEY.md §3.2.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def _radius_edges(pos: np.ndarray, cutoff: float = 10.0, cap: int = 32):
+    n = pos.shape[0]
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    src, dst = [], []
+    for i in range(n):
+        cnt = 0
+        for j in range(n):
+            if j != i and d[i, j] <= cutoff:
+                src.append(j)
+                dst.append(i)
+                cnt += 1
+                if cnt >= cap:
+                    break
+    return np.asarray([src, dst], np.int64), d
+
+
+class _SSP(nn.Module):
+    def forward(self, x):
+        return F.softplus(x) - math.log(2.0)
+
+
+class _Interaction(nn.Module):
+    def __init__(self, hidden, filters, gaussians, cutoff):
+        super().__init__()
+        self.filter_net = nn.Sequential(
+            nn.Linear(gaussians, filters), _SSP(), nn.Linear(filters, filters)
+        )
+        self.lin1 = nn.Linear(hidden, filters, bias=False)
+        self.lin2 = nn.Linear(filters, hidden)
+        self.lin = nn.Linear(hidden, hidden)
+        self.act = _SSP()
+        self.cutoff = cutoff
+
+    def forward(self, h, edge_index, edge_weight, rbf):
+        src, dst = edge_index
+        c = 0.5 * (torch.cos(edge_weight * math.pi / self.cutoff) + 1.0)
+        w = self.filter_net(rbf) * c[:, None]
+        msg = self.lin1(h)[src] * w
+        agg = torch.zeros_like(self.lin1(h))
+        agg.index_add_(0, dst, msg)
+        return self.lin(self.act(self.lin2(agg)))
+
+
+class _TorchSchNetRef(nn.Module):
+    def __init__(self, hidden=128, filters=128, gaussians=50, blocks=3, cutoff=10.0):
+        super().__init__()
+        self.embedding = nn.Embedding(100, hidden)
+        self.blocks = nn.ModuleList(
+            [_Interaction(hidden, filters, gaussians, cutoff) for _ in range(blocks)]
+        )
+        half = hidden // 2
+        self.lin1, self.lin2 = nn.Linear(hidden, half), nn.Linear(half, half)
+        self.lin1_bary, self.lin2_bary = nn.Linear(hidden, half), nn.Linear(half, half)
+        self.act = _SSP()
+        offset = torch.linspace(0.0, cutoff, gaussians)
+        self.register_buffer("offset", offset)
+        self.coeff = -0.5 / float(offset[1] - offset[0]) ** 2
+
+    def forward(self, z, edge_index, edge_weight):
+        rbf = torch.exp(self.coeff * (edge_weight[:, None] - self.offset) ** 2)
+        h = self.embedding(z)
+        for blk in self.blocks:
+            h = h + blk(h, edge_index, edge_weight, rbf)
+        h3 = self.act(self.lin2(self.lin1(h)))
+        hb = self.act(self.lin2_bary(self.lin1_bary(h)))
+        return h3, hb
+
+
+class _TorchGATRef(nn.Module):
+    def __init__(self, in_dim=9, out=64, edge_dim=3):
+        super().__init__()
+        self.l1 = _GATConvRef(in_dim, out, edge_dim)
+        self.l2 = _GATConvRef(out, out, edge_dim)
+
+    def forward(self, x, edge_index, edge_attr):
+        return self.l2(self.l1(x, edge_index, edge_attr), edge_index, edge_attr).sum(0)
+
+
+class _GATConvRef(nn.Module):
+    def __init__(self, in_dim, out, edge_dim):
+        super().__init__()
+        self.lin = nn.Linear(in_dim, out, bias=False)
+        self.lin_e = nn.Linear(edge_dim, out, bias=False)
+        self.a_src = nn.Parameter(torch.randn(out) * 0.1)
+        self.a_dst = nn.Parameter(torch.randn(out) * 0.1)
+        self.a_edge = nn.Parameter(torch.randn(out) * 0.1)
+
+    def forward(self, x, edge_index, edge_attr):
+        src, dst = edge_index
+        xs = self.lin(x)
+        ea = self.lin_e(edge_attr)
+        logit = F.leaky_relu(
+            xs[src] @ self.a_src + xs[dst] @ self.a_dst + ea @ self.a_edge, 0.2
+        )
+        # segment softmax over incoming edges
+        n = x.shape[0]
+        m = torch.full((n,), -1e30)
+        m = m.scatter_reduce(0, dst, logit, reduce="amax")
+        e = torch.exp(logit - m[dst])
+        denom = torch.zeros(n).index_add_(0, dst, e) + 1e-16
+        alpha = e / denom[dst]
+        out = torch.zeros_like(xs).index_add_(0, dst, alpha[:, None] * xs[src])
+        return out
+
+
+def _sinkhorn_log_t(p, q, cost, eps, iters=5, thr=1e-2):
+    mr = -cost / eps
+    u = torch.zeros_like(p)
+    v = torch.zeros_like(q)
+    logp, logq = torch.log(p), torch.log(q)
+    for i in range(iters):
+        v = logq - torch.logsumexp(mr + u[:, None], dim=0)
+        u = logp - torch.logsumexp(mr + v[None, :], dim=1)
+        if i == 0:
+            col = torch.exp(mr + u[:, None] + v[None, :]).sum(0)
+            if torch.norm(col - q) < thr:
+                break
+    return torch.exp(mr + u[:, None] + v[None, :])
+
+
+def _fgw_barycenter_t(Ys, Cs, alpha=0.1, eps=0.1, outer=5, pgd=5, sk=5):
+    K, N, D = Ys.shape
+    p = torch.full((N,), 1.0 / N)
+    lam = 1.0 / K
+    C = Cs[0]
+    Y = torch.zeros(N, D)
+    T = [torch.outer(p, p) for _ in range(K)]
+    Ms = [torch.cdist(Y, Ys[s]) ** 2 for s in range(K)]
+    for _ in range(outer):
+        with torch.no_grad():
+            for s in range(K):
+                constC = ((C**2) @ p)[:, None] + ((Cs[s] ** 2) @ p)[None, :]
+                t = T[s]
+                for it in range(pgd):
+                    grad = alpha * 2 * (constC - C @ t @ (2 * Cs[s]).T) + (1 - alpha) * Ms[s]
+                    t = _sinkhorn_log_t(p, p, grad, eps, sk)
+                T[s] = t
+        Y = (1.0 / p)[:, None] * sum(lam * (T[s] @ Ys[s]) for s in range(K))
+        Ms = [torch.cdist(Y, Ys[s]) ** 2 for s in range(K)]
+        C = sum(lam * (T[s] @ Cs[s] @ T[s].T) for s in range(K)) / torch.outer(p, p)
+    return Y, C
+
+
+def measure_reference_style_step(
+    batch_molecules, steps: int = 3, hidden: int = 128, use_barycenter: bool = True
+) -> float:
+    """Seconds per training step of the reference-style CPU pipeline.
+
+    ``batch_molecules``: list of (z, pos(K,n,3), x2d, bonds, battr, y).
+    """
+    torch.manual_seed(0)
+    schnet = _TorchSchNetRef(hidden=hidden)
+    gat = _TorchGATRef()
+    half = hidden // 2
+    t3d, tcov, tbary = nn.Linear(half, half), nn.Linear(half, half), nn.Linear(half, half)
+    head = nn.Linear(half, 1)
+    params = (
+        list(schnet.parameters()) + list(gat.parameters()) + list(t3d.parameters())
+        + list(tcov.parameters()) + list(tbary.parameters()) + list(head.parameters())
+    )
+    opt = torch.optim.Adam(params, lr=5e-4)
+
+    # precompute ragged graphs per conformer (the DataLoader worker's job)
+    prepared = []
+    for z, pos, x2d, bonds, battr, y in batch_molecules:
+        confs = []
+        for k in range(pos.shape[0]):
+            ei, dmat = _radius_edges(pos[k])
+            ew = dmat[ei[0], ei[1]]
+            confs.append((torch.tensor(ei), torch.tensor(ew, dtype=torch.float32)))
+        be = np.concatenate([bonds, bonds[:, ::-1]], 0).T
+        ba = np.concatenate([battr, battr], 0)
+        prepared.append(
+            (
+                torch.tensor(z, dtype=torch.long),
+                confs,
+                torch.tensor(x2d, dtype=torch.float32),
+                torch.tensor(be), torch.tensor(ba, dtype=torch.float32),
+                torch.tensor([y], dtype=torch.float32),
+            )
+        )
+
+    times = []
+    for step in range(steps + 1):
+        t0 = time.perf_counter()
+        preds, ys = [], []
+        for z, confs, x2d, be, ba, y in prepared:
+            x3d_list, yb_in, cs = [], [], []
+            n = z.shape[0]
+            for ei, ew in confs:
+                h3, hb = schnet(z, ei, ew)
+                x3d_list.append(h3.sum(0))
+                shifted = hb + 0.5
+                lo, hi = shifted.min(), shifted.max()
+                yb_in.append(0.1 + (shifted - lo) * 1.9 / (hi - lo))
+                adj = torch.zeros(n, n)
+                adj[ei[0], ei[1]] = 1.0
+                cs.append(adj)
+            x3d = torch.stack(x3d_list).mean(0)
+            x = t3d(x3d) + tcov(gat(x2d, be, ba))
+            if use_barycenter:
+                Yb, _ = _fgw_barycenter_t(torch.stack(yb_in), torch.stack(cs))
+                x = x + 0.2 * tbary(Yb.sum(0))
+            preds.append(head(x))
+            ys.append(y)
+        loss = F.mse_loss(torch.stack(preds).squeeze(-1), torch.stack(ys).squeeze(-1))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if step > 0:  # skip warmup
+            times.append(time.perf_counter() - t0)
+    return float(np.mean(times))

@@ -1,0 +1,126 @@
+"""Masked-dense SchNet backbone with dual (3D / barycenter) heads.
+
+Functional equivalent of the reference ``SchNetNoSum``
+(``conan_fgw/src/model/graph_embeddings/schnet_no_sum.py:90-354``), itself an
+extension of PyG ``SchNet``: atom embedding → radius graph → Gaussian RBF →
+continuous-filter convolution blocks with residual adds → two small MLP heads
+sharing the trunk (``lin1/lin2`` for the 3D branch, ``lin1_bary/lin2_bary``
+for the barycenter branch; the activation comes *after* both linears, a quirk
+of the reference we keep).
+
+TPU-first re-design: the ragged gather/scatter cfconv becomes one masked
+einsum over a dense ``(N, N)`` neighbor mask per molecule — fixed shapes,
+batched over ``B*K`` conformer graphs, MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from conan_fgw_tpu.ops.graph import pairwise_distances, radius_graph_mask
+from conan_fgw_tpu.ops.rbf import gaussian_smearing, shifted_softplus
+
+xavier = nn.initializers.xavier_uniform()
+
+
+class InteractionBlock(nn.Module):
+    """One continuous-filter convolution block (PyG ``InteractionBlock``)."""
+
+    hidden_channels: int
+    num_filters: int
+    cutoff: float
+
+    @nn.compact
+    def __call__(self, h, rbf, dist, nbr_mask):
+        # filter network on the RBF-expanded distances
+        w = nn.Dense(self.num_filters, kernel_init=xavier)(rbf)
+        w = shifted_softplus(w)
+        w = nn.Dense(self.num_filters, kernel_init=xavier)(w)
+        # smooth cosine-cutoff envelope (PyG CFConv)
+        env = 0.5 * (jnp.cos(dist * math.pi / self.cutoff) + 1.0)
+        w = w * (env * nbr_mask.astype(h.dtype))[..., None]
+        # cfconv: project, message = x_j ⊙ W_ij, sum over sources j
+        x = nn.Dense(self.num_filters, use_bias=False, kernel_init=xavier)(h)
+        m = jnp.einsum("...ijf,...jf->...if", w, x)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier)(m)
+        x = shifted_softplus(x)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier)(x)
+        return x
+
+
+class SchNet3D(nn.Module):
+    """SchNet trunk + dual heads over padded conformer point clouds.
+
+    Hyper-parameter defaults follow the reference regression configuration
+    (``common.py:512-529``: hidden=128, filters=128, gaussians=50,
+    interactions=3, cutoff=10, max 32 neighbors); the classification path
+    uses hidden=512, filters=256, gaussians=10.
+    """
+
+    hidden_channels: int = 128
+    num_filters: int = 128
+    num_interactions: int = 3
+    num_gaussians: int = 50
+    cutoff: float = 10.0
+    max_neighbors: Optional[int] = 32
+    neighbor_cap_mode: str = "index"
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            100, self.hidden_channels, embedding_init=nn.initializers.normal(1.0)
+        )
+        self.blocks = [
+            InteractionBlock(self.hidden_channels, self.num_filters, self.cutoff)
+            for _ in range(self.num_interactions)
+        ]
+        half = self.hidden_channels // 2
+        self.lin1 = nn.Dense(half, kernel_init=xavier)
+        self.lin2 = nn.Dense(half, kernel_init=xavier)
+        self.lin1_bary = nn.Dense(half, kernel_init=xavier)
+        self.lin2_bary = nn.Dense(half, kernel_init=xavier)
+
+    def neighbor_graph(self, pos, mask):
+        """Distances + neighbor mask; also the FGW structure graph source."""
+        dist = pairwise_distances(pos)
+        nbr = radius_graph_mask(
+            dist, mask, self.cutoff, self.max_neighbors, self.neighbor_cap_mode
+        )
+        return dist, nbr
+
+    def trunk(self, z, pos, mask):
+        dist, nbr = self.neighbor_graph(pos, mask)
+        rbf = gaussian_smearing(dist, self.num_gaussians, 0.0, self.cutoff)
+        h = self.embedding(z)
+        h = h * mask[..., None].astype(h.dtype)
+        for blk in self.blocks:
+            h = h + blk(h, rbf, dist, nbr)
+        return h, nbr
+
+    def __call__(self, z, pos, mask):
+        """3D branch only (stage-1 forward, ``schnet_no_sum.py:144-188``).
+
+        Returns per-node features ``(..., N, hidden//2)``; readout is the
+        caller's job (the reference sums per conformer graph).
+        """
+        h, _ = self.trunk(z, pos, mask)
+        h = self.lin1(h)
+        h = self.lin2(h)
+        h = shifted_softplus(h)
+        return h
+
+    def embed_dual(self, z, pos, mask):
+        """Both heads off the shared trunk (``forward_3d_bary``).
+
+        Returns ``(h_3d, h_bary, nbr_mask)`` with per-node features; the
+        neighbor mask doubles as the conformer structure graph for FGW
+        (the reference re-runs ``interaction_graph`` and densifies it,
+        ``schnet_no_sum.py:342,249-253``).
+        """
+        h, nbr = self.trunk(z, pos, mask)
+        h3 = shifted_softplus(self.lin2(self.lin1(h)))
+        hb = shifted_softplus(self.lin2_bary(self.lin1_bary(h)))
+        return h3, hb, nbr

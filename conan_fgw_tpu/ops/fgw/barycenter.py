@@ -1,0 +1,200 @@
+"""Batched FGW barycenter of K conformer graphs, solved once for a whole batch.
+
+The reference computes barycenters with a per-molecule Python loop
+(``conan_fgw/src/model/graph_embeddings/schnet_no_sum.py:259-306``) calling
+``fgw_barycenters`` (``conan_fgw/src/model/fgw/barycenter.py:7-225``) whose
+hot-path configuration is hardcoded: outer=5, PGD=5, Sinkhorn=5 iterations,
+``alpha=0.1``, ``epsilon=0.1``, warm-started couplings, ``init_C = Cs[0]``,
+``init_Y = 0``. Here the same block-coordinate descent runs as a fixed-length
+``lax.scan`` and is ``vmap``-ed over molecules — O(B·K) dense (N, N) matmul
+batches on the MXU instead of O(B) serial CPU-bound Python.
+
+Gradient semantics match the reference: couplings ``T`` are solved under
+``stop_gradient`` (the ``torch.no_grad()`` at ``barycenter.py:120``); the
+feature update ``Y = diag(1/p) * sum_s lambda_s T_s Y_s`` stays differentiable
+w.r.t. the conformer features ``Y_s``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from conan_fgw_tpu.ops.fgw.coupling import fgw_coupling
+
+
+@dataclasses.dataclass(frozen=True)
+class FGWConfig:
+    """Solver hyper-parameters.
+
+    Defaults replicate the reference's hardcoded training configuration
+    (``schnet_no_sum.py:281-306``). Note the reference passes the *same*
+    ``max_iter`` to both the outer barycenter loop and the inner PGD solve.
+    """
+
+    alpha: float = 0.1
+    epsilon: float = 0.1
+    outer_iters: int = 5
+    outer_tol: float = 1e-2
+    pgd_iters: int = 5
+    pgd_tol: float = 1e-4
+    sinkhorn_iters: int = 5
+    sinkhorn_thr: float = 1e-2
+    loss_fun: str = "square_loss"
+    warmstart: bool = True
+    fixed_structure: bool = False
+    fixed_features: bool = False
+    stop_grad_couplings: bool = True
+
+
+def normalize_minmax(x: jnp.ndarray, a: float, b: float, eps: float = 0.0) -> jnp.ndarray:
+    """Min-max rescale the whole tensor into [a, b] (barycenter.py:393-399)."""
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    return a + (x - lo) * (b - a) / (hi - lo + eps)
+
+
+def sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distances (fgw/utils.py:141-171), clamped at 0."""
+    d = (
+        jnp.sum(x * x, axis=-1)[..., :, None]
+        + jnp.sum(y * y, axis=-1)[..., None, :]
+        - 2.0 * x @ y.swapaxes(-1, -2)
+    )
+    return jnp.maximum(d, 0.0)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def fgw_barycenter(
+    Ys: jnp.ndarray,
+    Cs: jnp.ndarray,
+    ps: jnp.ndarray,
+    p: jnp.ndarray,
+    lambdas: jnp.ndarray,
+    config: FGWConfig = FGWConfig(),
+    init_C: jnp.ndarray | None = None,
+    init_Y: jnp.ndarray | None = None,
+):
+    """FGW barycenter of K graphs.
+
+    Args:
+      Ys: conformer node features ``(K, N, D)``.
+      Cs: conformer structure matrices (dense adjacency) ``(K, N, N)``.
+      ps: per-conformer marginals ``(K, N)``.
+      p: barycenter marginal ``(N,)``.
+      lambdas: barycenter weights ``(K,)``.
+      init_C: initial barycenter structure; defaults to ``Cs[0]`` as in the
+        reference hot path.
+      init_Y: initial features; defaults to zeros.
+
+    Returns:
+      ``(Y, C)``: barycenter features ``(N, D)`` and structure ``(N, N)``.
+    """
+    K, N, D = Ys.shape
+    C = Cs[0] if init_C is None else init_C
+    Y = jnp.zeros((N, D), Ys.dtype) if init_Y is None else init_Y
+    T = jax.vmap(lambda q: jnp.outer(p, q))(ps)  # (K, N, N)
+    Ms = sqdist(Y[None], Ys)  # (K, N, N)
+    inv_p = 1.0 / p
+    ppt = jnp.outer(p, p)
+
+    solve = jax.vmap(
+        lambda M, Cb, Ck, q, T0: fgw_coupling(
+            M,
+            Cb,
+            Ck,
+            p,
+            q,
+            T0,
+            alpha=config.alpha,
+            epsilon=config.epsilon,
+            pgd_iters=config.pgd_iters,
+            pgd_tol=config.pgd_tol,
+            sinkhorn_iters=config.sinkhorn_iters,
+            sinkhorn_thr=config.sinkhorn_thr,
+            loss_fun=config.loss_fun,
+            symmetric=True,
+        ),
+        in_axes=(0, None, 0, 0, 0),
+    )
+
+    def outer_step(carry, _):
+        Y, C, T, Ms, frozen = carry
+        T0 = T if config.warmstart else jax.vmap(lambda q: jnp.outer(p, q))(ps)
+        if config.stop_grad_couplings:
+            T_new = jax.lax.stop_gradient(
+                solve(jax.lax.stop_gradient(Ms), jax.lax.stop_gradient(C), Cs, ps, T0)
+            )
+        else:
+            T_new = solve(Ms, C, Cs, ps, T0)
+
+        if config.fixed_features:
+            Y_new, Ms_new = Y, Ms
+        else:
+            # Y = diag(1/p) * sum_s lambda_s T_s @ Ys_s   (fgw/utils.py:90-95)
+            Y_new = inv_p[:, None] * jnp.einsum("k,knm,kmd->nd", lambdas, T_new, Ys)
+            Ms_new = sqdist(Y_new[None], Ys)
+        if config.fixed_structure:
+            C_new = C
+        else:
+            if config.loss_fun == "square_loss":
+                # C = sum_s lambda_s T_s C_s T_s^T / p p^T  (fgw/utils.py:67-73)
+                C_new = (
+                    jnp.einsum("k,knm,kmj,klj->nl", lambdas, T_new, Cs, T_new) / ppt
+                )
+            else:
+                C_new = jnp.exp(
+                    jnp.einsum(
+                        "k,knm,kmj,klj->nl",
+                        lambdas,
+                        T_new,
+                        jnp.log(jnp.maximum(Cs, 1e-15)),
+                        T_new,
+                    )
+                    / ppt
+                )
+        err_f = jnp.linalg.norm(Y_new - Y) if not config.fixed_features else 0.0
+        err_s = jnp.linalg.norm(C_new - C) if not config.fixed_structure else 0.0
+        newly_frozen = (err_f <= config.outer_tol) & (err_s <= config.outer_tol)
+        Y = jnp.where(frozen, Y, Y_new)
+        C = jnp.where(frozen, C, C_new)
+        T = jnp.where(frozen, T, T_new)
+        Ms = jnp.where(frozen, Ms, Ms_new)
+        frozen = frozen | newly_frozen
+        return (Y, C, T, Ms, frozen), None
+
+    with jax.default_matmul_precision("highest"):
+        (Y, C, _, _, _), _ = jax.lax.scan(
+            outer_step, (Y, C, T, Ms, jnp.bool_(False)), None, length=config.outer_iters
+        )
+    return Y, C
+
+
+def fgw_barycenter_batch(
+    Ys: jnp.ndarray,
+    Cs: jnp.ndarray,
+    ps: jnp.ndarray | None = None,
+    p: jnp.ndarray | None = None,
+    lambdas: jnp.ndarray | None = None,
+    config: FGWConfig = FGWConfig(),
+):
+    """Barycenters for a whole batch: ``Ys (B, K, N, D)``, ``Cs (B, K, N, N)``.
+
+    Replaces the reference's per-molecule Python loop with one vmapped solve.
+    Marginals default to uniform over the padded node axis — deliberately
+    identical to the reference, where padding rows of ``to_dense_batch``
+    participate with zero adjacency (``schnet_no_sum.py:264-271``).
+    """
+    B, K, N, _ = Ys.shape
+    if ps is None:
+        ps = jnp.full((B, K, N), 1.0 / N, Ys.dtype)
+    if p is None:
+        p = jnp.full((B, N), 1.0 / N, Ys.dtype)
+    if lambdas is None:
+        lambdas = jnp.full((B, K), 1.0 / K, Ys.dtype)
+    return jax.vmap(
+        lambda y, c, psb, pb, lb: fgw_barycenter(y, c, psb, pb, lb, config)
+    )(Ys, Cs, ps, p, lambdas)

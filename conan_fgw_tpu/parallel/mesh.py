@@ -1,0 +1,49 @@
+"""Data-parallel device mesh utilities.
+
+The reference's only parallelism is single-node DDP over NCCL
+(``conan_fgw/src/trainer.py:308-325``). The TPU-native equivalent: a
+``jax.sharding.Mesh`` with a ``data`` axis spanning every chip (single host,
+pod slice, or multi-slice), the batch sharded on its leading axis, parameters
+replicated, and XLA inserting the gradient ``psum`` over ICI during the
+backward pass of the jitted train step. For multi-host runs call
+``initialize_distributed()`` first (JAX's analog of NCCL process groups).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up (no-op on a single host without env config)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:  # already initialised or single-process
+        pass
+
+
+def create_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (molecule) axis sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch_dict, mesh: Mesh):
+    """Device-put every array in the batch with its leading axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch_dict)

@@ -1,0 +1,93 @@
+"""Orbax checkpointing with the reference's best/last policy.
+
+Mirrors Lightning ``ModelCheckpoint`` usage in the reference
+(``conan_fgw/src/trainer.py:227-296``): keep the best state by the monitored
+metric (``val_mse`` min for regression, ``val_auroc``/``val_mean`` max for
+classification) plus the last state, and support the two-stage warm start
+(stage-2 ``conan_fgw`` restores stage-1 ``conan_fgw_pre``'s best parameters,
+``train_val.py:177-192``). Because both stages share one parameter tree here
+(the barycenter branch is a call-time flag), warm start is a plain restore;
+``merge_params`` additionally supports partial/surgical loads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _save_pytree(path: str, tree: Any) -> None:
+    """Flat .npz + structure JSON — dependency-light and fork-safe."""
+    leaves, treedef = jax.tree.flatten(tree)
+    np.savez(
+        path + ".npz", **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    )
+    with open(path + ".tree.json", "w") as f:
+        json.dump({"structure": str(treedef), "num_leaves": len(leaves)}, f)
+
+
+def _restore_pytree(path: str, template: Any) -> Any:
+    data = np.load(path + ".npz")
+    leaves_t, treedef = jax.tree.flatten(template)
+    leaves = [data[f"leaf_{i}"] for i in range(len(leaves_t))]
+    if len(leaves) != len(leaves_t):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template expects {len(leaves_t)}"
+        )
+    for i, (got, want) in enumerate(zip(leaves, leaves_t)):
+        if hasattr(want, "shape") and tuple(got.shape) != tuple(np.shape(want)):
+            raise ValueError(f"leaf {i}: shape {got.shape} != template {np.shape(want)}")
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def merge_params(target: Any, source: Any) -> Any:
+    """Copy every leaf present (by path) in ``source`` into ``target``.
+
+    The analog of loading a smaller ``state_dict`` into a larger model:
+    overlapping parameters are restored, new ones keep their fresh init —
+    the stage-1 → stage-2 semantics of the reference.
+    """
+
+    def _merge(t, s):
+        if isinstance(t, dict) and isinstance(s, dict):
+            return {k: (_merge(t[k], s[k]) if k in s else t[k]) for k in t}
+        return s
+
+    return _merge(target, source)
+
+
+class RunCheckpointer:
+    """best/last checkpoints for one training run."""
+
+    def __init__(self, directory: str, monitor: str = "val_mse"):
+        self.directory = directory
+        self.monitor = monitor
+        os.makedirs(directory, exist_ok=True)
+
+    def _meta(self, name: str, epoch: int, metrics: dict | None = None):
+        with open(os.path.join(self.directory, f"{name}.meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
+
+    def save_best(self, state, epoch: int, metrics: dict | None = None):
+        _save_pytree(os.path.join(self.directory, "best"), state.params)
+        self._meta("best", epoch, metrics)
+
+    def save_last(self, state, epoch: int):
+        _save_pytree(os.path.join(self.directory, "last"), state.params)
+        self._meta("last", epoch)
+
+    def restore_params(self, template, which: str = "best"):
+        return _restore_pytree(os.path.join(self.directory, which), template)
+
+    def has(self, which: str = "best") -> bool:
+        return os.path.exists(os.path.join(self.directory, f"{which}.npz"))
+
+
+def find_pre_stage_dir(models_dir: str, run_name: str, run_id: str, run_idx: int) -> str:
+    """Stage-1 checkpoint discovery, mirroring ``src/utils.py:55-63`` layout:
+    ``{models_dir}/{run_name}/{run_id}/run_conan_fgw_pre:{run_idx}``."""
+    return os.path.join(models_dir, run_name, str(run_id), f"run_conan_fgw_pre:{run_idx}")

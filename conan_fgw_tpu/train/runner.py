@@ -1,0 +1,232 @@
+"""Experiment runner: the two-stage N-run pipeline.
+
+Equivalent of ``conan_fgw/src/train_val.py``: for each of ``number_of_runs``
+runs, build the model, (stage ``conan_fgw``) warm-start from stage
+``conan_fgw_pre``'s best checkpoint, fit with early stopping, evaluate the
+best checkpoint on the test split, and aggregate mean±std across runs.
+
+Usage (CLI):
+    python -m conan_fgw_tpu.train.runner --config <yaml> --stage conan_fgw_pre ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from typing import Callable, Sequence
+
+import numpy as np
+
+from conan_fgw_tpu.data.datasets import ConformerDataset, class_weight_ratio
+from conan_fgw_tpu.models.heads import ConanModel
+from conan_fgw_tpu.ops.fgw import FGWConfig
+from conan_fgw_tpu.train import loop as loop_lib
+from conan_fgw_tpu.train.checkpoints import RunCheckpointer
+from conan_fgw_tpu.train.config import ExperimentConfig, load_config
+from conan_fgw_tpu.utils.runlog import AverageRuns, build_logger
+
+log = logging.getLogger("conan_fgw_tpu")
+
+STAGE_PRE = "conan_fgw_pre"
+STAGE_BC = "conan_fgw"
+
+
+def build_model(config: ExperimentConfig, stage: str) -> ConanModel:
+    spec = config.spec
+    if spec.task == "classification":
+        hidden, filters, gaussians = 512, 256, 10
+    else:
+        hidden, filters, gaussians = 128, 128, 50
+    return ConanModel(
+        task=spec.task,
+        hidden_channels=hidden,
+        num_filters=filters,
+        num_gaussians=gaussians,
+        num_interactions=3,
+        cutoff=10.0,
+        agg_weight=config.agg_weight,
+        # parity default: the reference hardcodes 5/5/5 iterations and
+        # epsilon=0.1 regardless of the YAML (schnet_no_sum.py:294-300)
+        fgw=FGWConfig(),
+        bary_pad_mode=config.bary_pad_mode,
+    )
+
+
+def build_settings(config: ExperimentConfig, stage: str, loss_scale=None) -> loop_lib.TrainSettings:
+    spec = config.spec
+    task = spec.task
+    if task == "classification":
+        plateau = dict(plateau_patience=5, plateau_factor=0.5)
+        monitor = "val_mean" if config.trade_off else "val_auroc"
+    else:
+        plateau = dict(plateau_patience=10, plateau_factor=0.8)
+        monitor = "val_mse"
+    return loop_lib.TrainSettings(
+        learning_rate=config.learning_rate,
+        num_epochs=config.num_epochs,
+        batch_size=config.batch_size,
+        task=task,
+        use_barycenter=spec.barycenter and stage == STAGE_BC,
+        loss_scale=loss_scale,
+        trade_off=config.trade_off,
+        monitor=monitor,
+        es_patience=config.es_patience,
+        es_min_delta=config.es_min_delta,
+        max_atoms=config.max_atoms,
+        **plateau,
+    )
+
+
+def load_datasets(config: ExperimentConfig, data_dir: str):
+    name = config.dataset_name[0]
+    target = config.target[0]
+    return {
+        mode: ConformerDataset(
+            mode, data_dir, name, target, config.num_conformers,
+            prune_conformers=config.prune_conformers,
+        )
+        for mode in ("train", "valid", "test")
+    }
+
+
+def run_experiment(
+    config: ExperimentConfig,
+    *,
+    stage: str = STAGE_PRE,
+    data_dir: str | None = None,
+    number_of_runs: int = 1,
+    run_name: str = "run",
+    run_id: str = "0",
+    models_dir: str = "outputs/models",
+    datasets: dict | None = None,
+    mesh=None,
+    records_provider: Callable[[str], Sequence] | None = None,
+):
+    """Train/evaluate ``number_of_runs`` times; returns (summary, per-run list).
+
+    ``datasets`` may inject pre-built record lists (tests/benchmarks);
+    otherwise they are loaded from ``data_dir`` per the reference layout.
+    """
+    if datasets is None:
+        if records_provider is not None:
+            datasets = {m: records_provider(m) for m in ("train", "valid", "test")}
+        else:
+            ds = load_datasets(config, data_dir)
+            datasets = {m: ds[m].records() for m in ("train", "valid", "test")}
+
+    loss_scale = None
+    if config.spec.task == "classification":
+        rows = [{"y": r.y} for r in datasets["train"]]
+        loss_scale = class_weight_ratio(rows)
+
+    avg = AverageRuns()
+    per_run = []
+    for run_idx in range(number_of_runs):
+        model = build_model(config, stage)
+        settings = build_settings(config, stage, loss_scale)
+        settings.seed = settings.seed + run_idx
+        ckpt_dir = os.path.join(models_dir, run_name, str(run_id), f"run_{stage}:{run_idx}")
+        ckpt = RunCheckpointer(ckpt_dir, monitor=settings.monitor)
+
+        state = None
+        if stage == STAGE_BC:
+            pre_dir = os.path.join(
+                models_dir, run_name, str(run_id), f"run_{STAGE_PRE}:{run_idx}"
+            )
+            pre_ckpt = RunCheckpointer(pre_dir)
+            if pre_ckpt.has("best"):
+                max_atoms = settings.max_atoms or loop_lib.dataset_max_atoms(
+                    list(datasets["train"]) + list(datasets["valid"])
+                )
+                settings.max_atoms = max_atoms
+                first = next(
+                    iter(
+                        loop_lib.batch_iterator(
+                            datasets["train"], settings.batch_size, max_atoms
+                        )
+                    )
+                )
+                state = loop_lib.init_state(
+                    model, settings, loop_lib._to_device_batch(first, mesh), settings.seed
+                )
+                params = pre_ckpt.restore_params(state.params, "best")
+                state = state.replace(params=params)
+                log.info("warm-started run %d from %s", run_idx, pre_dir)
+            else:
+                log.warning("no stage-1 checkpoint at %s; training from scratch", pre_dir)
+
+        result = loop_lib.fit(
+            model, settings, datasets["train"], datasets["valid"],
+            state=state, mesh=mesh, checkpointer=ckpt,
+        )
+
+        # evaluate the best checkpoint on the test split (trainer.test(ckpt_path="best"))
+        best_params = (
+            ckpt.restore_params(result.state.params, "best")
+            if ckpt.has("best")
+            else result.state.params
+        )
+        _, eval_step = loop_lib.make_step_fns(model, settings)
+        max_atoms = settings.max_atoms or loop_lib.dataset_max_atoms(
+            list(datasets["train"]) + list(datasets["valid"]) + list(datasets["test"])
+        )
+        test_metrics, _, _ = loop_lib.evaluate(
+            eval_step, best_params, datasets["test"], settings, max_atoms, mesh
+        )
+        run_metrics = {f"test_{k}": v for k, v in test_metrics.items()}
+        run_metrics["best_epoch"] = result.best_epoch
+        run_metrics[settings.monitor] = result.best_metric
+        avg.register(run_metrics)
+        per_run.append({"metrics": run_metrics, "history": result.history})
+        log.info("run %d done: %s", run_idx, run_metrics)
+
+    log.info("\n%s", avg.table())
+    return avg.summary(), per_run
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="conan_fgw_tpu experiment runner")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--stage", default=STAGE_PRE, choices=[STAGE_PRE, STAGE_BC])
+    ap.add_argument("--data_root", default=".")
+    ap.add_argument("--number_of_runs", type=int, default=1)
+    ap.add_argument("--run_name", default="run")
+    ap.add_argument("--run_id", default="0")
+    ap.add_argument("--models_dir", default="outputs/models")
+    ap.add_argument("--logs_dir", default="outputs/logs")
+    ap.add_argument("--out_json", default=None)
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. cpu); needed where a site hook pins TPU",
+    )
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    config = load_config(args.config)
+    build_logger(
+        os.path.join(args.logs_dir, args.run_name, args.run_id, f"run_{args.stage}", "log.txt")
+    )
+    summary, _ = run_experiment(
+        config,
+        stage=args.stage,
+        data_dir=os.path.join(args.data_root, "data"),
+        number_of_runs=args.number_of_runs,
+        run_name=args.run_name,
+        run_id=args.run_id,
+        models_dir=args.models_dir,
+    )
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
