@@ -1,0 +1,120 @@
+"""Benchmark: stage-2 (FGW barycenter) training-step throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "conformer_graphs_per_sec", "value": N, "unit": "graphs/s",
+   "vs_baseline": R, ...}
+
+The workload is the reference's headline regression configuration (ESOL,
+SchNet hidden=128, K=5 conformers, batch 24 — ``esol_5_bc.yaml``) on
+synthetic molecules padded to the N=64 atom bucket: one full jitted train
+step (forward incl. batched FGW barycenters, backward, global-norm clip,
+Adam update).
+
+``vs_baseline`` compares conformer-graphs/sec against a reference-style CPU
+implementation (ragged gather/scatter torch with the per-molecule Python FGW
+loop — see ``conan_fgw_tpu/bench_baseline.py``), measured once on this host
+and cached in ``.bench_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+B, K, N_ATOMS = 24, 5, 64
+HEAVY_RANGE = (8, 13)  # ~ESOL-sized molecules once hydrogens are added
+STEPS = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def _records():
+    from conan_fgw_tpu.data.synthetic import random_dataset
+
+    return random_dataset(42, B, num_conformers=K, heavy_range=HEAVY_RANGE)
+
+
+def measure_tpu_step() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from conan_fgw_tpu.data.packing import PackedBatch, pack_batch
+    from conan_fgw_tpu.models.heads import ConanModel
+    from conan_fgw_tpu.train import loop as loop_lib
+
+    recs = _records()
+    pb = pack_batch(recs, max_atoms=N_ATOMS, batch_size=B)
+    batch = PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
+
+    model = ConanModel()  # reference regression config
+    settings = loop_lib.TrainSettings(use_barycenter=True, batch_size=B)
+    state = loop_lib.init_state(model, settings, batch)
+    train_step, _ = loop_lib.make_step_fns(model, settings)
+
+    t_compile0 = time.perf_counter()
+    state, loss = train_step(state, batch)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t_compile0
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = train_step(state, batch)
+    jax.block_until_ready(loss)
+    step_s = (time.perf_counter() - t0) / STEPS
+    assert np.isfinite(float(loss)), "benchmark train step produced non-finite loss"
+    return {
+        "step_s": step_s,
+        "compile_s": compile_s,
+        "graphs_per_s": B * K / step_s,
+        "device": str(jax.devices()[0]),
+        "loss": float(loss),
+    }
+
+
+def measure_baseline() -> float:
+    """Reference-style CPU seconds/step (cached across rounds)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["step_s"]
+    from conan_fgw_tpu.bench_baseline import measure_reference_style_step
+
+    mols = [(r.z, r.pos, r.x2d, r.bonds, r.bond_attr, r.y) for r in _records()]
+    step_s = measure_reference_style_step(mols, steps=2)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"step_s": step_s, "B": B, "K": K, "host": os.uname().nodename}, f)
+    return step_s
+
+
+def main():
+    tpu = measure_tpu_step()
+    try:
+        base_step_s = measure_baseline()
+        base_gps = B * K / base_step_s
+        vs = tpu["graphs_per_s"] / base_gps
+    except Exception as e:  # baseline is best-effort; never break the bench
+        base_gps, vs = None, None
+        print(f"# baseline measurement failed: {e!r}")
+    print(
+        json.dumps(
+            {
+                "metric": "conformer_graphs_per_sec",
+                "value": round(tpu["graphs_per_s"], 2),
+                "unit": "graphs/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+                "detail": {
+                    "step_s": round(tpu["step_s"], 5),
+                    "compile_s": round(tpu["compile_s"], 1),
+                    "baseline_graphs_per_s": round(base_gps, 2) if base_gps else None,
+                    "batch": B, "conformers": K, "max_atoms": N_ATOMS,
+                    "device": tpu["device"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

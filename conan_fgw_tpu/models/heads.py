@@ -76,6 +76,7 @@ class ConanModel(nn.Module):
     """
 
     task: str = "regression"
+    backbone_name: str = "schnet"
     hidden_channels: int = 128
     num_filters: int = 128
     num_gaussians: int = 50
@@ -87,17 +88,30 @@ class ConanModel(nn.Module):
     bary_shift: float = 0.5
     bary_norm: Tuple[float, float] = (0.1, 2.0)
     bary_pad_mode: str = "reference"
+    bary_postnorm: str = "none"  # "l2col" for ViSNet (visnet.py:233-241)
 
     def setup(self):
         half = self.hidden_channels // 2
-        self.backbone = SchNet3D(
-            hidden_channels=self.hidden_channels,
-            num_filters=self.num_filters,
-            num_gaussians=self.num_gaussians,
-            num_interactions=self.num_interactions,
-            cutoff=self.cutoff,
-            max_neighbors=self.max_neighbors,
-        )
+        if self.backbone_name == "schnet":
+            self.backbone = SchNet3D(
+                hidden_channels=self.hidden_channels,
+                num_filters=self.num_filters,
+                num_gaussians=self.num_gaussians,
+                num_interactions=self.num_interactions,
+                cutoff=self.cutoff,
+                max_neighbors=self.max_neighbors,
+            )
+        elif self.backbone_name == "visnet":
+            from conan_fgw_tpu.models.visnet import ViSNet3D
+
+            # wrapper defaults: cutoff 5.0, 6 layers, 8 heads (visnet.py:83-91)
+            self.backbone = ViSNet3D(
+                hidden_channels=self.hidden_channels,
+                cutoff=self.cutoff,
+                max_neighbors=self.max_neighbors,
+            )
+        else:
+            raise ValueError(f"unknown backbone {self.backbone_name!r}")
         self.gat = GAT2D(out_channels=half)
         self.t3d = nn.Dense(half, kernel_init=xavier)
         self.tcov = nn.Dense(half, kernel_init=xavier)
@@ -151,6 +165,13 @@ class ConanModel(nn.Module):
         # structure graph: dense adjacency of the radius graph, A[j, i] = j→i
         cs = nbr.swapaxes(-1, -2).astype(hb.dtype).reshape(B, K, N, N)
         y_bary, _ = fgw_barycenter_batch(ys, cs, ps=ps, p=p, config=self.fgw)
+        if self.bary_postnorm == "l2col":
+            # ViSNet wrapper: zero non-finite barycenters, then normalise each
+            # feature column to unit L2 norm (visnet.py:233-241)
+            finite = jnp.all(jnp.isfinite(y_bary), axis=(-2, -1), keepdims=True)
+            y_bary = jnp.where(finite, y_bary, 0.0)
+            col = jnp.sqrt(jnp.sum(y_bary * y_bary, axis=-2, keepdims=True) + 1e-16)
+            y_bary = y_bary / col
         x_bary = jnp.sum(y_bary, axis=-2)  # sum-readout (pads included, as ref)
         return x3d, x_bary
 

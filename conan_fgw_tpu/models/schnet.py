@@ -106,6 +106,9 @@ class SchNet3D(nn.Module):
         Returns per-node features ``(..., N, hidden//2)``; readout is the
         caller's job (the reference sums per conformer graph).
         """
+        if self.is_initializing():
+            h3, _, _ = self.embed_dual(z, pos, mask)  # materialise both heads
+            return h3
         h, _ = self.trunk(z, pos, mask)
         h = self.lin1(h)
         h = self.lin2(h)

@@ -35,22 +35,27 @@ STAGE_BC = "conan_fgw"
 
 def build_model(config: ExperimentConfig, stage: str) -> ConanModel:
     spec = config.spec
-    if spec.task == "classification":
-        hidden, filters, gaussians = 512, 256, 10
-    else:
-        hidden, filters, gaussians = 128, 128, 50
-    return ConanModel(
+    hidden = 512 if spec.task == "classification" else 128
+    common = dict(
         task=spec.task,
         hidden_channels=hidden,
-        num_filters=filters,
-        num_gaussians=gaussians,
-        num_interactions=3,
-        cutoff=10.0,
         agg_weight=config.agg_weight,
         # parity default: the reference hardcodes 5/5/5 iterations and
         # epsilon=0.1 regardless of the YAML (schnet_no_sum.py:294-300)
         fgw=FGWConfig(),
         bary_pad_mode=config.bary_pad_mode,
+    )
+    if config.model_name == "visnet":
+        # wrapper defaults: cutoff 5.0; bary branch shifts +1.0 and L2-column
+        # normalises the barycenter features (visnet.py:50,233-241)
+        return ConanModel(
+            backbone_name="visnet", cutoff=5.0, bary_shift=1.0,
+            bary_postnorm="l2col", **common,
+        )
+    filters, gaussians = (256, 10) if spec.task == "classification" else (128, 50)
+    return ConanModel(
+        backbone_name="schnet", num_filters=filters, num_gaussians=gaussians,
+        num_interactions=3, cutoff=10.0, **common,
     )
 
 
@@ -196,6 +201,7 @@ def main(argv=None):
     ap.add_argument("--run_id", default="0")
     ap.add_argument("--models_dir", default="outputs/models")
     ap.add_argument("--logs_dir", default="outputs/logs")
+    ap.add_argument("--model_name", default=None, choices=[None, "schnet", "visnet"])
     ap.add_argument("--out_json", default=None)
     ap.add_argument(
         "--platform",
@@ -209,7 +215,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    config = load_config(args.config)
+    overrides = {"model_name": args.model_name} if args.model_name else {}
+    config = load_config(args.config, **overrides)
     build_logger(
         os.path.join(args.logs_dir, args.run_name, args.run_id, f"run_{args.stage}", "log.txt")
     )
