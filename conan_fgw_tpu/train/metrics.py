@@ -27,7 +27,7 @@ def classification_metrics(pred: np.ndarray, target: np.ndarray, trade_off: bool
     pred = np.asarray(pred).reshape(-1)
     target = np.asarray(target).reshape(-1).astype(np.int64)
     auroc = float(roc_auc_score(y_true=target, y_score=pred))
-    precision, recall, _ = precision_recall_curve(y_true=target, probas_pred=pred)
+    precision, recall, _ = precision_recall_curve(target, pred)
     prc = float(auc(recall, precision))
     out = {"auroc": auroc, "prc": prc}
     if trade_off:
