@@ -1,0 +1,303 @@
+"""Masked-dense DimeNet: directional message passing with angular bases.
+
+Equivalent of the reference's DimeNet wrapper
+(``conan_fgw/src/model/graph_embeddings/dimenet.py:93-341``), which extends
+PyG's original DimeNet: spherical/radial Bessel bases, per-*edge* hidden
+states, bilinear triplet interactions, and per-node output blocks summed over
+all interaction stages. The reference's barycenter branch feeds the *same*
+node output into both the 3D and FGW branches with ``alpha=0.5,
+fixed_structure=True`` (``dimenet.py:235-260``).
+
+Dense design: edge states live on ``(N, N, H)`` tensors indexed ``[target i,
+source j]``; the triplet reduction is one ``(N, N, N)``-masked einsum. The
+spherical-Bessel root table is computed host-side with scipy at module load.
+
+Reference registry hyper-parameters (``common.py:488-509``): hidden=feat_dim,
+out=feat_dim/2, 6 blocks, 8 bilinear, num_spherical=2, num_radial=3,
+cutoff=5.0, envelope exponent 5, 1 before-skip / 2 after-skip residuals,
+3 output layers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conan_fgw_tpu.ops.graph import pairwise_distances, radius_graph_mask
+
+def _glorot_orthogonal(scale: float = 2.0):
+    """PyG's glorot_orthogonal: orthogonal matrix rescaled so that
+    var(W) = scale / (fan_in + fan_out)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        w = nn.initializers.orthogonal()(key, shape, dtype)
+        fan_in, fan_out = shape[-2], shape[-1]
+        return w * jnp.sqrt(scale / ((fan_in + fan_out) * jnp.var(w)))
+
+    return init
+
+
+glorot_orthogonal = _glorot_orthogonal(2.0)
+xavier = nn.initializers.xavier_uniform()
+
+
+def _spherical_jn_roots(num_spherical: int, num_roots: int) -> np.ndarray:
+    """First ``num_roots`` positive roots of j_l for l < num_spherical."""
+    from scipy import optimize, special
+
+    roots = np.zeros((num_spherical, num_roots))
+    for l in range(num_spherical):
+        f = lambda x: special.spherical_jn(l, x)  # noqa: E731
+        found = []
+        x = 1e-3
+        step = 0.1
+        prev = f(x)
+        while len(found) < num_roots:
+            x2 = x + step
+            cur = f(x2)
+            if prev * cur < 0:
+                found.append(optimize.brentq(f, x, x2))
+            x, prev = x2, cur
+        roots[l] = found
+    return roots
+
+
+def _spherical_jn(l: int, x: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form spherical Bessel j_l for small l (enough for l<=3)."""
+    xs = jnp.where(x == 0, 1e-12, x)
+    if l == 0:
+        return jnp.sin(xs) / xs
+    if l == 1:
+        return jnp.sin(xs) / xs**2 - jnp.cos(xs) / xs
+    if l == 2:
+        return (3.0 / xs**2 - 1.0) * jnp.sin(xs) / xs - 3.0 * jnp.cos(xs) / xs**2
+    if l == 3:
+        return (15.0 / xs**3 - 6.0 / xs) * jnp.sin(xs) / xs - (
+            15.0 / xs**2 - 1.0
+        ) * jnp.cos(xs) / xs
+    raise NotImplementedError(f"l={l}")
+
+
+def _legendre_cos(l: int, cos_t: jnp.ndarray) -> jnp.ndarray:
+    """Real m=0 spherical harmonic of the angle, up to l=3 (normalised)."""
+    if l == 0:
+        return jnp.full_like(cos_t, 0.5 / math.sqrt(math.pi))
+    if l == 1:
+        return math.sqrt(3.0 / (4 * math.pi)) * cos_t
+    if l == 2:
+        return math.sqrt(5.0 / (16 * math.pi)) * (3 * cos_t**2 - 1)
+    if l == 3:
+        return math.sqrt(7.0 / (16 * math.pi)) * (5 * cos_t**3 - 3 * cos_t)
+    raise NotImplementedError(f"l={l}")
+
+
+def envelope(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """DimeNet's smooth polynomial envelope u(x) on x = d/cutoff (zero past 1)."""
+    a = -(p + 1) * (p + 2) / 2.0
+    b = float(p * (p + 2))
+    c = -p * (p + 1) / 2.0
+    val = 1.0 / jnp.where(x == 0, 1e-12, x) + a * x ** (p - 1) + b * x**p + c * x ** (p + 1)
+    return jnp.where(x < 1.0, val, 0.0)
+
+
+class ResidualLayer(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(h))
+        return x + h
+
+
+class InteractionBlock(nn.Module):
+    hidden: int
+    num_bilinear: int
+    num_spherical: int
+    num_radial: int
+    num_before_skip: int
+    num_after_skip: int
+
+    @nn.compact
+    def __call__(self, x, rbf, sbf, nbr, tmask):
+        """x: (..., N, N, H) edge states [i=target, j=source]; rbf: (..., N, N, R);
+        sbf: (..., N, N, N, S*R) for triplets (i, j, k); nbr edge mask;
+        tmask (..., N, N, N) triplet mask."""
+        m = nbr[..., None].astype(x.dtype)
+        rbf_h = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal)(rbf)
+        sbf_b = nn.Dense(
+            self.num_bilinear, use_bias=False, kernel_init=glorot_orthogonal
+        )(sbf)
+        x_ji = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
+        x_kj = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
+        x_kj = x_kj * rbf_h
+        w = self.param(
+            "bilinear",
+            nn.initializers.normal(2.0 / self.num_bilinear),
+            (self.hidden, self.num_bilinear, self.hidden),
+        )
+        # sum over neighbours k of j: edge (k->j) state gated by the angular basis
+        s1 = jnp.einsum(
+            "...ijkb,...jkl,...ijk->...ijbl",
+            sbf_b, x_kj, tmask.astype(x.dtype),
+        )
+        agg = jnp.einsum("...ijbl,hbl->...ijh", s1, w)
+        h = (x_ji + agg) * m
+        for _ in range(self.num_before_skip):
+            h = ResidualLayer(self.hidden)(h) * m
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(h)) + x
+        for _ in range(self.num_after_skip):
+            h = ResidualLayer(self.hidden)(h) * m
+        return h * m
+
+
+class OutputBlock(nn.Module):
+    hidden: int
+    out_channels: int
+    num_radial: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x, rbf, nbr):
+        g = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal)(rbf)
+        per_edge = g * x * nbr[..., None].astype(x.dtype)
+        node = jnp.sum(per_edge, axis=-2)  # sum over sources j → per target i
+        for _ in range(self.num_layers):
+            node = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(node))
+        return nn.Dense(self.out_channels, use_bias=False, kernel_init=xavier)(node)
+
+
+class DimeNet3D(nn.Module):
+    """Dense DimeNet with the SchNet3D-compatible backbone API."""
+
+    hidden_channels: int = 128
+    out_channels: int = 0  # 0 → hidden_channels // 2 (the registry default)
+    num_blocks: int = 6
+    num_bilinear: int = 8
+    num_spherical: int = 2
+    num_radial: int = 3
+    cutoff: float = 5.0
+    envelope_exponent: int = 5
+    num_before_skip: int = 1
+    num_after_skip: int = 2
+    num_output_layers: int = 3
+    max_neighbors: int = 32
+    remat: bool = True
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            95,
+            self.hidden_channels,
+            embedding_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -math.sqrt(3.0), math.sqrt(3.0)
+            ),
+        )
+        self.edge_emb_dense = nn.Dense(self.hidden_channels, kernel_init=glorot_orthogonal)
+        self.rbf_emb = nn.Dense(self.hidden_channels, kernel_init=glorot_orthogonal)
+        self.bessel_freq = self.param(
+            "bessel_freq",
+            lambda _: (jnp.arange(1, self.num_radial + 1, dtype=jnp.float32) * math.pi),
+        )
+        block = nn.remat(InteractionBlock) if self.remat else InteractionBlock
+        self.blocks = [
+            block(
+                self.hidden_channels, self.num_bilinear, self.num_spherical,
+                self.num_radial, self.num_before_skip, self.num_after_skip,
+            )
+            for _ in range(self.num_blocks)
+        ]
+        out_ch = self.out_channels or self.hidden_channels // 2
+        self.outputs = [
+            OutputBlock(
+                self.hidden_channels, out_ch, self.num_radial,
+                self.num_output_layers,
+            )
+            for _ in range(self.num_blocks + 1)
+        ]
+        self._sbf_roots = jnp.asarray(
+            _spherical_jn_roots(self.num_spherical, self.num_radial), jnp.float32
+        )
+
+    def _bessel_rbf(self, dist):
+        """Radial Bessel basis with the smooth envelope (trainable freqs)."""
+        x = dist / self.cutoff
+        env = envelope(x, self.envelope_exponent)
+        return env[..., None] * jnp.sin(self.bessel_freq * x[..., None])
+
+    def _spherical_basis(self, dist_jk, cos_angle):
+        """(..., S*R) basis: j_l(z_ln * d_jk/cutoff) * Y_l(angle)."""
+        x = dist_jk / self.cutoff
+        env = envelope(x, self.envelope_exponent)
+        parts = []
+        for l in range(self.num_spherical):
+            radial = jnp.stack(
+                [
+                    _spherical_jn(l, self._sbf_roots[l, n] * x) * env
+                    for n in range(self.num_radial)
+                ],
+                axis=-1,
+            )
+            parts.append(radial * _legendre_cos(l, cos_angle)[..., None])
+        return jnp.concatenate(parts, axis=-1)
+
+    def trunk(self, z, pos, mask):
+        dist = pairwise_distances(pos)
+        nbr = radius_graph_mask(dist, mask, self.cutoff, self.max_neighbors)
+        rbf = self._bessel_rbf(dist) * nbr[..., None].astype(pos.dtype)
+
+        # triplets (i, j, k): edge j->i aggregated from edges k->j, k != i.
+        # reference quirk kept: the angle is taken AT ATOM i between (j - i)
+        # and (k - i), and the radial part of the sbf uses d(k->j)
+        # (dimenet.py:157-166 — PyG's original-DimeNet forward).
+        n = z.shape[-1]
+        tmask = (
+            nbr[..., :, :, None]
+            & nbr[..., None, :, :]
+            & ~jnp.eye(n, dtype=bool)[..., :, None, :]
+        )
+        rel = pos[..., None, :, :] - pos[..., :, None, :]  # rel[i, j] = pos_j - pos_i
+        dots = jnp.einsum("...ijd,...ikd->...ijk", rel, rel)
+        crosses = jnp.cross(
+            jnp.broadcast_to(rel[..., :, :, None, :], (*dots.shape, 3)),
+            jnp.broadcast_to(rel[..., :, None, :, :], (*dots.shape, 3)),
+        )
+        cross_norm = jnp.sqrt(jnp.sum(crosses**2, axis=-1) + 1e-18)
+        angle = jnp.arctan2(cross_norm, dots)
+        dist_kj = dist[..., None, :, :]  # d(j, k) broadcast over i
+        dist_kj = jnp.broadcast_to(dist_kj, angle.shape)
+        sbf = self._spherical_basis(dist_kj, jnp.cos(angle))
+        sbf = sbf * tmask[..., None].astype(pos.dtype)
+
+        # embedding block: per-edge state from atom embeddings + rbf
+        emb = self.embedding(z)
+        e = jnp.concatenate(
+            [
+                jnp.broadcast_to(emb[..., :, None, :], (*dist.shape, emb.shape[-1])),
+                jnp.broadcast_to(emb[..., None, :, :], (*dist.shape, emb.shape[-1])),
+                self.rbf_emb(rbf),
+            ],
+            axis=-1,
+        )
+        x = nn.silu(self.edge_emb_dense(e)) * nbr[..., None].astype(pos.dtype)
+
+        p_node = self.outputs[0](x, rbf, nbr)
+        for blk, out in zip(self.blocks, self.outputs[1:]):
+            x = blk(x, rbf, sbf, nbr, tmask)
+            p_node = p_node + out(x, rbf, nbr)
+        p_node = p_node * mask[..., None].astype(pos.dtype)
+        return p_node, nbr
+
+    def __call__(self, z, pos, mask):
+        """Per-node outputs ``(..., N, out_channels)`` (caller does readout)."""
+        p, _ = self.trunk(z, pos, mask)
+        return p
+
+    def embed_dual(self, z, pos, mask):
+        """DimeNet has no separate barycenter head — both branches share the
+        node outputs (``dimenet.py:300-341``)."""
+        p, nbr = self.trunk(z, pos, mask)
+        return p, p, nbr

@@ -110,6 +110,15 @@ class ConanModel(nn.Module):
                 cutoff=self.cutoff,
                 max_neighbors=self.max_neighbors,
             )
+        elif self.backbone_name == "dimenet":
+            from conan_fgw_tpu.models.dimenet import DimeNet3D
+
+            self.backbone = DimeNet3D(
+                hidden_channels=self.hidden_channels,
+                out_channels=half,
+                cutoff=self.cutoff,
+                max_neighbors=self.max_neighbors,
+            )
         else:
             raise ValueError(f"unknown backbone {self.backbone_name!r}")
         self.gat = GAT2D(out_channels=half)

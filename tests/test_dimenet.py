@@ -1,0 +1,84 @@
+"""DimeNet backbone: bases, shapes, invariance, full-model integration."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conan_fgw_tpu.data.packing import PackedBatch, pack_batch
+from conan_fgw_tpu.data.synthetic import random_dataset
+from conan_fgw_tpu.models.dimenet import (
+    DimeNet3D,
+    _spherical_jn,
+    _spherical_jn_roots,
+    envelope,
+)
+from conan_fgw_tpu.models.heads import ConanModel
+from conan_fgw_tpu.ops.fgw import FGWConfig
+
+SMALL = dict(hidden_channels=16, num_blocks=2, remat=False)
+
+
+def _batch(recs, max_atoms=24):
+    pb = pack_batch(recs, max_atoms=max_atoms)
+    return PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
+
+
+class TestBases:
+    def test_bessel_roots(self):
+        roots = _spherical_jn_roots(3, 3)
+        # j_0 roots are n*pi
+        np.testing.assert_allclose(roots[0], [math.pi, 2 * math.pi, 3 * math.pi], rtol=1e-6)
+        # j_1 first root ~ 4.493409
+        assert abs(roots[1, 0] - 4.493409) < 1e-4
+        for l in range(3):
+            for r in roots[l]:
+                assert abs(float(_spherical_jn(l, jnp.asarray(r)))) < 1e-5
+
+    def test_envelope(self):
+        x = jnp.asarray([0.2, 0.5, 0.99, 1.0, 2.0])
+        u = np.asarray(envelope(x, 5))
+        assert (u[-2:] == 0).all()  # zero at/after the cutoff
+        assert np.isfinite(u).all()
+
+
+class TestDimeNet:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        recs = random_dataset(0, 2, num_conformers=2, heavy_range=(3, 5))
+        batch = _batch(recs)
+        B, K, N = batch.z.shape
+        z = batch.z.reshape(B * K, N)
+        pos = batch.pos.reshape(B * K, N, 3)
+        mask = jnp.repeat(batch.atom_mask, K, axis=0)
+        model = DimeNet3D(**SMALL)
+        params = model.init(jax.random.PRNGKey(0), z, pos, mask)
+        return batch, z, pos, mask, model, params
+
+    def test_shapes_finite(self, setup):
+        _, z, pos, mask, model, params = setup
+        out = model.apply(params, z, pos, mask)
+        assert out.shape == (z.shape[0], z.shape[1], SMALL["hidden_channels"] // 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_e3_invariance(self, setup):
+        _, z, pos, mask, model, params = setup
+        q, _ = np.linalg.qr(np.random.default_rng(2).standard_normal((3, 3)))
+        moved = pos @ jnp.asarray(q.T, jnp.float32) + 1.5
+        a = np.asarray(model.apply(params, z, pos, mask))
+        b = np.asarray(model.apply(params, z, moved, mask))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-3)
+
+    def test_full_model(self, setup):
+        batch, *_ = setup
+        model = ConanModel(
+            backbone_name="dimenet", hidden_channels=16, cutoff=5.0,
+            fgw=FGWConfig(alpha=0.5, fixed_structure=True),
+        )
+        params = model.init(jax.random.PRNGKey(0), batch, use_barycenter=True)
+        for bary in (False, True):
+            out = np.asarray(model.apply(params, batch, use_barycenter=bary))
+            assert out.shape == (2, 1) and np.isfinite(out).all()
