@@ -68,6 +68,7 @@ class SchNet3D(nn.Module):
     cutoff: float = 10.0
     max_neighbors: Optional[int] = 32
     neighbor_cap_mode: str = "index"
+    use_covalent: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(
@@ -77,6 +78,14 @@ class SchNet3D(nn.Module):
             InteractionBlock(self.hidden_channels, self.num_filters, self.cutoff)
             for _ in range(self.num_interactions)
         ]
+        if self.use_covalent:
+            # parallel interaction stack over the covalent bond graph with
+            # 3-dim bond features as "RBF" input and unit edge weights
+            # (schnet_no_sum.py:132-142,166-175)
+            self.blocks_cov = [
+                InteractionBlock(self.hidden_channels, self.num_filters, self.cutoff)
+                for _ in range(self.num_interactions)
+            ]
         half = self.hidden_channels // 2
         self.lin1 = nn.Dense(half, kernel_init=xavier)
         self.lin2 = nn.Dense(half, kernel_init=xavier)
@@ -91,31 +100,39 @@ class SchNet3D(nn.Module):
         )
         return dist, nbr
 
-    def trunk(self, z, pos, mask):
+    def trunk(self, z, pos, mask, bond_adj=None, bond_attr=None):
         dist, nbr = self.neighbor_graph(pos, mask)
         rbf = gaussian_smearing(dist, self.num_gaussians, 0.0, self.cutoff)
         h = self.embedding(z)
         h = h * mask[..., None].astype(h.dtype)
         for blk in self.blocks:
             h = h + blk(h, rbf, dist, nbr)
+        if self.use_covalent:
+            if bond_adj is None:
+                raise ValueError("use_covalent=True requires bond_adj/bond_attr")
+            h_cov = self.embedding(z) * mask[..., None].astype(h.dtype)
+            ones = jnp.ones_like(dist)  # reference uses unit edge weights
+            for blk in self.blocks_cov:
+                h_cov = h_cov + blk(h_cov, bond_attr, ones, bond_adj)
+            h = jnp.concatenate([h, h_cov], axis=-1)
         return h, nbr
 
-    def __call__(self, z, pos, mask):
+    def __call__(self, z, pos, mask, bond_adj=None, bond_attr=None):
         """3D branch only (stage-1 forward, ``schnet_no_sum.py:144-188``).
 
         Returns per-node features ``(..., N, hidden//2)``; readout is the
         caller's job (the reference sums per conformer graph).
         """
         if self.is_initializing():
-            h3, _, _ = self.embed_dual(z, pos, mask)  # materialise both heads
+            h3, _, _ = self.embed_dual(z, pos, mask, bond_adj, bond_attr)
             return h3
-        h, _ = self.trunk(z, pos, mask)
+        h, _ = self.trunk(z, pos, mask, bond_adj, bond_attr)
         h = self.lin1(h)
         h = self.lin2(h)
         h = shifted_softplus(h)
         return h
 
-    def embed_dual(self, z, pos, mask):
+    def embed_dual(self, z, pos, mask, bond_adj=None, bond_attr=None):
         """Both heads off the shared trunk (``forward_3d_bary``).
 
         Returns ``(h_3d, h_bary, nbr_mask)`` with per-node features; the
@@ -123,7 +140,19 @@ class SchNet3D(nn.Module):
         (the reference re-runs ``interaction_graph`` and densifies it,
         ``schnet_no_sum.py:342,249-253``).
         """
-        h, nbr = self.trunk(z, pos, mask)
+        h, nbr = self.trunk(z, pos, mask, bond_adj, bond_attr)
         h3 = shifted_softplus(self.lin2(self.lin1(h)))
         hb = shifted_softplus(self.lin2_bary(self.lin1_bary(h)))
         return h3, hb, nbr
+
+    def embed_simple(self, z, pos, mask):
+        """One-linear head variant (``SchNetWithMultipleReturns.forward``,
+        ``schnet_no_sum.py:405-450``): ``h = act(lin1(h))`` per node, plus the
+        radius-graph mask and its RBF edge features for subgraph consumers."""
+        dist, nbr = self.neighbor_graph(pos, mask)
+        rbf = gaussian_smearing(dist, self.num_gaussians, 0.0, self.cutoff)
+        h = self.embedding(z) * mask[..., None].astype(pos.dtype)
+        for blk in self.blocks:
+            h = h + blk(h, rbf, dist, nbr)
+        h = shifted_softplus(self.lin1(h))
+        return h, nbr, rbf * nbr[..., None].astype(pos.dtype)

@@ -87,6 +87,13 @@ def build_settings(config: ExperimentConfig, stage: str, loss_scale=None) -> loo
 def load_datasets(config: ExperimentConfig, data_dir: str):
     name = config.dataset_name[0]
     target = config.target[0]
+    if config.spec.dataset == "geom":
+        from conan_fgw_tpu.data.geom import GEOMDataset
+
+        return {
+            mode: GEOMDataset(mode, data_dir, name, target, config.num_conformers)
+            for mode in ("train", "valid", "test")
+        }
     return {
         mode: ConformerDataset(
             mode, data_dir, name, target, config.num_conformers,
