@@ -22,7 +22,7 @@ import numpy as np
 import optax
 from flax.training import train_state
 
-from conan_fgw_tpu.data.packing import MoleculeRecord, PackedBatch, bucket_for, pack_batch
+from conan_fgw_tpu.data.packing import MoleculeRecord, PackedBatch, bucket_for
 from conan_fgw_tpu.parallel import mesh as mesh_lib
 from conan_fgw_tpu.train import metrics as metrics_lib
 
@@ -71,13 +71,15 @@ def batch_iterator(
     *,
     shuffle: bool = False,
     rng: np.random.Generator | None = None,
+    prefetch: bool = True,
 ) -> Iterable[PackedBatch]:
-    idx = np.arange(len(records))
-    if shuffle:
-        (rng or np.random.default_rng()).shuffle(idx)
-    for s in range(0, len(idx), batch_size):
-        chunk = [records[i] for i in idx[s : s + batch_size]]
-        yield pack_batch(chunk, max_atoms=max_atoms, batch_size=batch_size)
+    from conan_fgw_tpu.data import loader as loader_lib
+
+    if prefetch:
+        return loader_lib.prefetched_batches(
+            records, batch_size, max_atoms, shuffle=shuffle, rng=rng
+        )
+    return loader_lib.batches(records, batch_size, max_atoms, shuffle=shuffle, rng=rng)
 
 
 def dataset_max_atoms(records: Sequence[MoleculeRecord]) -> int:
