@@ -37,20 +37,22 @@ def _records():
     return random_dataset(42, B, num_conformers=K, heavy_range=HEAVY_RANGE)
 
 
-def measure_tpu_step() -> dict:
+def _measure(batch_size: int, steps: int = STEPS) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from conan_fgw_tpu.data.packing import PackedBatch, pack_batch
+    from conan_fgw_tpu.data.loader import pack
+    from conan_fgw_tpu.data.packing import PackedBatch
+    from conan_fgw_tpu.data.synthetic import random_dataset
     from conan_fgw_tpu.models.heads import ConanModel
     from conan_fgw_tpu.train import loop as loop_lib
 
-    recs = _records()
-    pb = pack_batch(recs, max_atoms=N_ATOMS, batch_size=B)
+    recs = random_dataset(42, batch_size, num_conformers=K, heavy_range=HEAVY_RANGE)
+    pb = pack(recs, max_atoms=N_ATOMS, batch_size=batch_size)
     batch = PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
 
     model = ConanModel()  # reference regression config
-    settings = loop_lib.TrainSettings(use_barycenter=True, batch_size=B)
+    settings = loop_lib.TrainSettings(use_barycenter=True, batch_size=batch_size)
     state = loop_lib.init_state(model, settings, batch)
     train_step, _ = loop_lib.make_step_fns(model, settings)
 
@@ -60,18 +62,35 @@ def measure_tpu_step() -> dict:
     compile_s = time.perf_counter() - t_compile0
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(steps):
         state, loss = train_step(state, batch)
     jax.block_until_ready(loss)
-    step_s = (time.perf_counter() - t0) / STEPS
+    step_s = (time.perf_counter() - t0) / steps
     assert np.isfinite(float(loss)), "benchmark train step produced non-finite loss"
     return {
         "step_s": step_s,
         "compile_s": compile_s,
-        "graphs_per_s": B * K / step_s,
+        "graphs_per_s": batch_size * K / step_s,
         "device": str(jax.devices()[0]),
         "loss": float(loss),
     }
+
+
+def measure_tpu_step() -> dict:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    out = _measure(B)
+    # device-saturating batch: the reference batch (24) is dispatch-bound on
+    # a v5e; the large-batch figure shows the per-chip compute ceiling
+    big = _measure(256)
+    out["large_batch"] = {
+        "batch": 256,
+        "step_s": round(big["step_s"], 5),
+        "graphs_per_s": round(big["graphs_per_s"], 1),
+    }
+    return out
 
 
 def measure_baseline() -> float:
@@ -110,6 +129,7 @@ def main():
                     "baseline_graphs_per_s": round(base_gps, 2) if base_gps else None,
                     "batch": B, "conformers": K, "max_atoms": N_ATOMS,
                     "device": tpu["device"],
+                    "large_batch": tpu.get("large_batch"),
                 },
             }
         )

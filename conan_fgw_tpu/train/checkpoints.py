@@ -61,29 +61,61 @@ def merge_params(target: Any, source: Any) -> Any:
 
 
 class RunCheckpointer:
-    """best/last checkpoints for one training run."""
+    """best/last checkpoints for one training run.
 
-    def __init__(self, directory: str, monitor: str = "val_mse"):
+    ``backend="npz"`` (default) writes flat ``.npz`` + tree metadata —
+    dependency-light and fast for small models. ``backend="orbax"`` uses
+    Orbax's StandardCheckpointer (sharding-aware; preferred for multi-host
+    or large states).
+    """
+
+    def __init__(self, directory: str, monitor: str = "val_mse", backend: str = "npz"):
         self.directory = directory
         self.monitor = monitor
+        self.backend = backend
         os.makedirs(directory, exist_ok=True)
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.StandardCheckpointer()
 
     def _meta(self, name: str, epoch: int, metrics: dict | None = None):
         with open(os.path.join(self.directory, f"{name}.meta.json"), "w") as f:
             json.dump({"epoch": epoch, "metrics": metrics or {}}, f)
 
+    def _save(self, name: str, params):
+        if self.backend == "orbax":
+            import shutil
+
+            path = os.path.abspath(os.path.join(self.directory, f"{name}.orbax"))
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            self._orbax.save(path, jax.device_get(params))
+            self._orbax.wait_until_finished()
+        else:
+            _save_pytree(os.path.join(self.directory, name), params)
+
     def save_best(self, state, epoch: int, metrics: dict | None = None):
-        _save_pytree(os.path.join(self.directory, "best"), state.params)
+        self._save("best", state.params)
         self._meta("best", epoch, metrics)
 
     def save_last(self, state, epoch: int):
-        _save_pytree(os.path.join(self.directory, "last"), state.params)
+        self._save("last", state.params)
         self._meta("last", epoch)
 
     def restore_params(self, template, which: str = "best"):
+        if self.backend == "orbax":
+            path = os.path.abspath(os.path.join(self.directory, f"{which}.orbax"))
+            tpl = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template
+            )
+            return self._orbax.restore(path, tpl)
         return _restore_pytree(os.path.join(self.directory, which), template)
 
     def has(self, which: str = "best") -> bool:
+        if self.backend == "orbax":
+            return os.path.exists(os.path.join(self.directory, f"{which}.orbax"))
         return os.path.exists(os.path.join(self.directory, f"{which}.npz"))
 
 

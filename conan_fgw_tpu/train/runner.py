@@ -169,6 +169,13 @@ def run_experiment(
             else:
                 log.warning("no stage-1 checkpoint at %s; training from scratch", pre_dir)
 
+        if config.use_lr_finder and state is None:
+            from conan_fgw_tpu.train.lr_finder import lr_find
+
+            found = lr_find(model, settings, list(datasets["train"]), mesh=mesh)
+            log.info("lr finder suggestion: %.2e", found["suggestion"])
+            settings.learning_rate = found["suggestion"]
+
         result = loop_lib.fit(
             model, settings, datasets["train"], datasets["valid"],
             state=state, mesh=mesh, checkpointer=ckpt,
