@@ -145,6 +145,62 @@ def rdkit_generate(smiles: str, num_conformers: int, prune: bool = False):
     return np.stack([c.GetPositions() for c in confs]).astype(np.float32)
 
 
+def kabsch_rmsd(a: np.ndarray, b: np.ndarray) -> float:
+    """RMSD after optimal rigid superposition (Kabsch) — the RDKit-free analog
+    of ``rdMolAlign.GetBestRMS`` used for diversity selection
+    (``features.py:128-146``; no atom-permutation search)."""
+    a = a - a.mean(0)
+    b = b - b.mean(0)
+    h = a.T @ b
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(u @ vt))
+    r = u @ np.diag([1.0, 1.0, d]) @ vt
+    return float(np.sqrt(np.mean(np.sum((a @ r - b) ** 2, axis=1))))
+
+
+def pairwise_rmsd(positions: np.ndarray) -> np.ndarray:
+    c = positions.shape[0]
+    out = np.zeros((c, c))
+    for i in range(c):
+        for j in range(i + 1, c):
+            out[i, j] = out[j, i] = kabsch_rmsd(positions[i], positions[j])
+    return out
+
+
+def select_diverse(positions: np.ndarray, k: int, seed: int = 0) -> list[int]:
+    """Max-min greedy diversity selection (``features.py:148-163``)."""
+    c = positions.shape[0]
+    d = pairwise_rmsd(positions)
+    rng = np.random.default_rng(seed)
+    chosen = {int(rng.integers(c))}
+    while len(chosen) < min(k, c):
+        rest = [i for i in range(c) if i not in chosen]
+        nxt = max(rest, key=lambda i: min(d[i, j] for j in chosen))
+        chosen.add(nxt)
+    return sorted(chosen)
+
+
+def select_diverse_kmedoids(positions: np.ndarray, k: int, iters: int = 20) -> list[int]:
+    """K-medoids over the RMSD matrix (``features.py:101-120``'s KMedoids)."""
+    c = positions.shape[0]
+    d = pairwise_rmsd(positions)
+    medoids = list(np.random.default_rng(42).choice(c, size=min(k, c), replace=False))
+    for _ in range(iters):
+        assign = np.argmin(d[:, medoids], axis=1)
+        new = []
+        for m in range(len(medoids)):
+            members = np.nonzero(assign == m)[0]
+            if len(members) == 0:
+                new.append(medoids[m])
+                continue
+            costs = d[np.ix_(members, members)].sum(axis=1)
+            new.append(int(members[np.argmin(costs)]))
+        if new == medoids:
+            break
+        medoids = new
+    return sorted(medoids)
+
+
 def resample_indices(available: int, k: int, seed: int = 1) -> list[int]:
     """Exactly the reference's K-resampling (``generators.py:25-34``)."""
     idx = list(range(available))

@@ -115,6 +115,64 @@ class ConformerDataset:
         return [self[i] for i in range(len(self))]
 
 
+class NTrialsConformerDataset(ConformerDataset):
+    """Per-item repeated conformer resamplings for variance studies
+    (``LargeConformerBasedDatasetNTrials``, datasets.py:263-285): each access
+    returns ``n_trials`` independently resampled K-subsets."""
+
+    def __init__(self, *args, n_trials: int = 10, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_trials = n_trials
+
+    def __getitem__(self, idx: int):
+        row = self.rows[idx]
+        x2d, bonds, battr, z = self._features(row["smiles"])
+        positions = self._positions(row)
+        out = []
+        for _ in range(self.n_trials):
+            k = self.num_conformers
+            if k > positions.shape[0]:
+                sel = random.choices(range(positions.shape[0]), k=k)
+            else:
+                sel = random.sample(range(positions.shape[0]), k=k)
+            out.append(
+                MoleculeRecord(
+                    z=z, pos=positions[sel].astype(np.float32), x2d=x2d, bonds=bonds,
+                    bond_attr=battr, y=row["y"], smiles=row["smiles"],
+                    mol_id=row["mol_id"],
+                )
+            )
+        return out
+
+
+class SmilesDataset:
+    """2D-only dataset (``SmilesBasedDataset``, datasets.py:67-83): featurises
+    the covalent graph without conformers (K=1, zero positions)."""
+
+    def __init__(self, mode: str, data_dir: str, dataset_name: str, target: str):
+        self.csv_path = os.path.join(data_dir, dataset_name, f"{mode}.csv")
+        self.rows = read_csv_rows(self.csv_path, target)
+        self._cache: dict[str, tuple] = {}
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, idx: int) -> MoleculeRecord:
+        row = self.rows[idx]
+        if row["smiles"] not in self._cache:
+            mol = smi.parse_smiles(row["smiles"])  # no hydrogens for 2D
+            self._cache[row["smiles"]] = smi.featurize(mol)
+        x2d, bonds, battr, z = self._cache[row["smiles"]]
+        n = z.shape[0]
+        return MoleculeRecord(
+            z=z, pos=np.zeros((1, n, 3), np.float32), x2d=x2d, bonds=bonds,
+            bond_attr=battr, y=row["y"], smiles=row["smiles"], mol_id=row["mol_id"],
+        )
+
+    def records(self):
+        return [self[i] for i in range(len(self))]
+
+
 def class_weight_ratio(rows: Sequence[dict]) -> float:
     """``balanced`` class-weight ratio cw[1]/cw[0] = n0/n1 — the scalar the
     reference passes as the BCE ``weight`` (``train_val.py:56-62``)."""

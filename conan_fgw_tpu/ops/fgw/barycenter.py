@@ -122,28 +122,23 @@ def fgw_barycenter(
     )
 
     def outer_step(carry, _):
-        Y, C, T, Ms, frozen = carry
+        Y, C, T, T_eff, Ms, frozen = carry
         T0 = T if config.warmstart else jax.vmap(lambda q: jnp.outer(p, q))(ps)
-        if config.stop_grad_couplings:
-            T_new = jax.lax.stop_gradient(
-                solve(jax.lax.stop_gradient(Ms), jax.lax.stop_gradient(C), Cs, ps, T0)
-            )
-        else:
-            T_new = solve(Ms, C, Cs, ps, T0)
+        T_new = solve(Ms, C, Cs_ng, ps, T0)
 
         if config.fixed_features:
             Y_new, Ms_new = Y, Ms
         else:
             # Y = diag(1/p) * sum_s lambda_s T_s @ Ys_s   (fgw/utils.py:90-95)
-            Y_new = inv_p[:, None] * jnp.einsum("k,knm,kmd->nd", lambdas, T_new, Ys)
-            Ms_new = sqdist(Y_new[None], Ys)
+            Y_new = inv_p[:, None] * jnp.einsum("k,knm,kmd->nd", lambdas, T_new, Ys_ng)
+            Ms_new = sqdist(Y_new[None], Ys_ng)
         if config.fixed_structure:
             C_new = C
         else:
             if config.loss_fun == "square_loss":
                 # C = sum_s lambda_s T_s C_s T_s^T / p p^T  (fgw/utils.py:67-73)
                 C_new = (
-                    jnp.einsum("k,knm,kmj,klj->nl", lambdas, T_new, Cs, T_new) / ppt
+                    jnp.einsum("k,knm,kmj,klj->nl", lambdas, T_new, Cs_ng, T_new) / ppt
                 )
             else:
                 C_new = jnp.exp(
@@ -151,7 +146,7 @@ def fgw_barycenter(
                         "k,knm,kmj,klj->nl",
                         lambdas,
                         T_new,
-                        jnp.log(jnp.maximum(Cs, 1e-15)),
+                        jnp.log(jnp.maximum(Cs_ng, 1e-15)),
                         T_new,
                     )
                     / ppt
@@ -162,14 +157,38 @@ def fgw_barycenter(
         Y = jnp.where(frozen, Y, Y_new)
         C = jnp.where(frozen, C, C_new)
         T = jnp.where(frozen, T, T_new)
+        # the couplings behind the *last applied* Y update — the only place
+        # gradients enter (reference: torch.no_grad around the solves means
+        # dY_final/dYs = lambda_s diag(1/p) T_final alone)
+        T_eff = jnp.where(frozen, T_eff, T_new)
         Ms = jnp.where(frozen, Ms, Ms_new)
         frozen = frozen | newly_frozen
-        return (Y, C, T, Ms, frozen), None
+        return (Y, C, T, T_eff, Ms, frozen), None
 
     with jax.default_matmul_precision("highest"):
-        (Y, C, _, _, _), _ = jax.lax.scan(
-            outer_step, (Y, C, T, Ms, jnp.bool_(False)), None, length=config.outer_iters
-        )
+        if config.stop_grad_couplings:
+            # run the entire solve without autodiff residuals, then re-apply
+            # the final feature update differentiably w.r.t. Ys — identical
+            # gradients to the reference at a fraction of the memory.
+            Ys_ng = jax.lax.stop_gradient(Ys)
+            Cs_ng = jax.lax.stop_gradient(Cs)
+            (Y, C, _, T_eff, _, _), _ = jax.lax.scan(
+                outer_step,
+                (Y, C, T, T, Ms, jnp.bool_(False)),
+                None,
+                length=config.outer_iters,
+            )
+            Y, C, T_eff = map(jax.lax.stop_gradient, (Y, C, T_eff))
+            if not config.fixed_features:
+                Y = inv_p[:, None] * jnp.einsum("k,knm,kmd->nd", lambdas, T_eff, Ys)
+        else:
+            Ys_ng, Cs_ng = Ys, Cs
+            (Y, C, _, _, _, _), _ = jax.lax.scan(
+                outer_step,
+                (Y, C, T, T, Ms, jnp.bool_(False)),
+                None,
+                length=config.outer_iters,
+            )
     return Y, C
 
 

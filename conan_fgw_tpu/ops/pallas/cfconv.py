@@ -1,0 +1,164 @@
+"""Fused continuous-filter convolution (SchNet cfconv) as a Pallas TPU kernel.
+
+One kernel per conformer graph fuses the whole edge pipeline in VMEM:
+
+    distances -> radius/cap neighbor mask -> Gaussian RBF -> filter MLP
+    (Dense, shifted-softplus, Dense) -> cosine-cutoff envelope -> masked
+    aggregation  m_i = sum_j W_ij * x_j
+
+The XLA path materialises the ``(B*K, N, N, G)`` RBF tensor and the
+``(B*K, N, N, F)`` filter tensor in HBM (hundreds of MB per layer at large
+batch); here they only ever exist as per-graph VMEM tiles. The backward pass
+recomputes through the reference XLA formulation (``custom_vjp``), so
+gradients are exact and the kernel stays forward-only.
+
+Use via ``fused_cfconv``; falls back to interpret mode off-TPU so tests run
+on CPU. Note: some tunneled TPU environments proxy XLA compilation through a
+remote service whose Mosaic path is unavailable — there the kernel still
+validates in interpret mode and the model's XLA formulation is used; on a
+normal TPU host it compiles natively.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(pos_ref, mask_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+            *, cutoff: float, num_gaussians: int, max_neighbors: int):
+    n = pos_ref.shape[1]
+    f = x_ref.shape[-1]
+    pos = pos_ref[0]
+    mask = mask_ref[0, 0] > 0
+    x = x_ref[0]
+
+    # pairwise distances
+    sq = jnp.sum(pos * pos, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        pos, pos.T, preferred_element_type=jnp.float32
+    )
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+    # radius graph with first-k-by-index cap (torch-cluster semantics)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 1
+    )
+    valid = mask[:, None] & mask[None, :]
+    within = valid & (dist <= cutoff)
+    cand = (within | eye) & valid
+    # exclusive prefix count along j as a matmul (Mosaic has no cumsum):
+    # rank[i, j] = sum_{j' < j} cand[i, j']
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)
+    rank = jnp.dot(cand.astype(jnp.float32), tri, preferred_element_type=jnp.float32)
+    nbr = within & ~eye & (rank < max_neighbors + 0.5)
+
+    # Gaussian RBF + filter MLP, fused in VMEM (integer iota: Mosaic has no
+    # float iota / linspace)
+    step = cutoff / (num_gaussians - 1)
+    offset = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, num_gaussians), 1).astype(jnp.float32)
+        * step
+    ).reshape(num_gaussians)
+    coeff = -0.5 / step**2
+    rbf = jnp.exp(coeff * (dist[:, :, None] - offset[None, None, :]) ** 2)
+    h = jnp.dot(
+        rbf.reshape(n * n, num_gaussians), w1_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    h = jnp.logaddexp(h, 0.0) - math.log(2.0)  # shifted softplus
+    w = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[0]
+    w = w.reshape(n, n, f)
+
+    env = 0.5 * (jnp.cos(dist * math.pi / cutoff) + 1.0)
+    gate = jnp.where(nbr, env, 0.0)
+    out_ref[0] = jnp.sum(w * gate[:, :, None] * x[None, :, :], axis=1)
+
+
+def _cfconv_xla(pos, mask, x, w1, b1, w2, b2, *, cutoff, num_gaussians, max_neighbors):
+    """Reference XLA formulation (identical math; used for the backward pass)."""
+    from conan_fgw_tpu.ops.graph import pairwise_distances, radius_graph_mask
+    from conan_fgw_tpu.ops.rbf import gaussian_smearing, shifted_softplus
+
+    dist = pairwise_distances(pos)
+    nbr = radius_graph_mask(dist, mask > 0, cutoff, max_neighbors, "index")
+    rbf = gaussian_smearing(dist, num_gaussians, 0.0, cutoff)
+    h = shifted_softplus(rbf @ w1 + b1)
+    w = h @ w2 + b2
+    env = 0.5 * (jnp.cos(dist * math.pi / cutoff) + 1.0)
+    gate = jnp.where(nbr, env, 0.0).astype(x.dtype)
+    return jnp.einsum("...ijf,...ij,...jf->...if", w, gate, x)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
+)
+def fused_cfconv(pos, mask, x, w1, b1, w2, b2, cutoff=10.0, num_gaussians=50,
+                 max_neighbors=32, interpret=None):
+    """Batched fused cfconv: pos (G, N, 3), mask (G, N), x (G, N, F) →
+    messages (G, N, F). Weights are the filter-MLP parameters."""
+    return _fused_fwd_impl(
+        pos, mask, x, w1, b1, w2, b2, cutoff, num_gaussians, max_neighbors, interpret
+    )
+
+
+def _fused_fwd_impl(pos, mask, x, w1, b1, w2, b2, cutoff, num_gaussians,
+                    max_neighbors, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g, n, f = x.shape
+    kern = functools.partial(
+        _kernel, cutoff=cutoff, num_gaussians=num_gaussians, max_neighbors=max_neighbors
+    )
+    rep = lambda i: (0, 0)  # noqa: E731 — weights replicated across the grid
+    return pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec(w1.shape, rep),
+            pl.BlockSpec((1, b1.shape[0]), rep),
+            pl.BlockSpec(w2.shape, rep),
+            pl.BlockSpec((1, b2.shape[0]), rep),
+        ],
+        out_specs=pl.BlockSpec((1, n, f), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, n, f), x.dtype),
+        interpret=interpret,
+    )(
+        pos, mask.astype(jnp.float32)[:, None, :], x,
+        w1, b1[None, :], w2, b2[None, :],
+    )
+
+
+def _fwd(pos, mask, x, w1, b1, w2, b2, cutoff, num_gaussians, max_neighbors, interpret):
+    out = _fused_fwd_impl(
+        pos, mask, x, w1, b1, w2, b2, cutoff, num_gaussians, max_neighbors, interpret
+    )
+    return out, (pos, mask, x, w1, b1, w2, b2)
+
+
+def _bwd(cutoff, num_gaussians, max_neighbors, interpret, res, g):
+    pos, mask, x, w1, b1, w2, b2 = res
+    # exact gradients by recomputation through the XLA formulation
+    def f(x_, w1_, b1_, w2_, b2_):
+        return _cfconv_xla(
+            pos, mask, x_, w1_, b1_, w2_, b2_,
+            cutoff=cutoff, num_gaussians=num_gaussians, max_neighbors=max_neighbors,
+        )
+
+    _, vjp = jax.vjp(f, x, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = vjp(g)
+    return (None, None, dx, dw1, db1, dw2, db2)
+
+
+fused_cfconv.defvjp(_fwd, _bwd)

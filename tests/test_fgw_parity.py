@@ -189,3 +189,36 @@ class TestBarycenter:
         g = jax.grad(loss)(jnp.asarray(Ys))
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+    def test_gradient_matches_reference(self, reference_fgw):
+        """dL/dYs must equal torch autograd through the reference solver
+        (whose couplings are computed under no_grad)."""
+        import jax
+        import torch
+
+        rng = np.random.default_rng(7)
+        Ys, Cs, ps, p, lam = _rand_problem(rng, K=3, N=9)
+        cfg = FGWConfig()
+
+        def loss(y):
+            Y, _ = fgw_barycenter(
+                y, jnp.asarray(Cs), jnp.asarray(ps), jnp.asarray(p),
+                jnp.asarray(lam), cfg,
+            )
+            return jnp.sum(Y**2)
+
+        g_jax = np.asarray(jax.grad(loss)(jnp.asarray(Ys)))
+
+        ys_t = [torch.tensor(y, requires_grad=True) for y in Ys]
+        Y_ref, _, _ = reference_fgw.fgw_barycenters(
+            N=9, Ys=ys_t, Cs=[torch.tensor(c) for c in Cs],
+            ps=[torch.tensor(w) for w in ps], lambdas=torch.tensor(lam),
+            warmstartT=True, symmetric=True, method="sinkhorn_log",
+            alpha=cfg.alpha, solver="PGD", epsilon=cfg.epsilon, p=None,
+            loss_fun="square_loss", max_iter=cfg.outer_iters, tol=cfg.outer_tol,
+            numItermax=cfg.sinkhorn_iters, stopThr=cfg.sinkhorn_thr, log=True,
+            init_C=torch.tensor(Cs[0]),
+        )
+        torch.sum(Y_ref**2).backward()
+        g_ref = np.stack([y.grad.numpy() for y in ys_t])
+        np.testing.assert_allclose(g_jax, g_ref, atol=5e-3)

@@ -1,0 +1,56 @@
+"""Fused Pallas cfconv vs the XLA formulation (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conan_fgw_tpu.ops.pallas.cfconv import _cfconv_xla, fused_cfconv
+
+
+def _problem(g=3, n=16, f=32, gauss=10, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.standard_normal((g, n, 3)).astype(np.float32) * 2.0
+    mask = np.ones((g, n), np.float32)
+    mask[:, n - 3 :] = 0.0
+    pos[:, n - 3 :] += 1e4  # padding far away
+    x = rng.standard_normal((g, n, f)).astype(np.float32)
+    w1 = (rng.standard_normal((gauss, f)) * 0.1).astype(np.float32)
+    b1 = np.zeros((f,), np.float32)
+    w2 = (rng.standard_normal((f, f)) * 0.1).astype(np.float32)
+    b2 = np.zeros((f,), np.float32)
+    return pos, mask, x, w1, b1, w2, b2
+
+
+def test_matches_xla():
+    args = tuple(map(jnp.asarray, _problem()))
+    fused = fused_cfconv(*args, 10.0, 10, 32)
+    ref = _cfconv_xla(*args, cutoff=10.0, num_gaussians=10, max_neighbors=32)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+def test_gradients_match():
+    args = tuple(map(jnp.asarray, _problem(seed=1)))
+    pos, mask, x, w1, b1, w2, b2 = args
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(fused_cfconv(pos, mask, x, w1, b1, w2, b2, 10.0, 10, 32) ** 2)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum(
+            _cfconv_xla(pos, mask, x, w1, b1, w2, b2, cutoff=10.0, num_gaussians=10,
+                        max_neighbors=32) ** 2
+        )
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
+
+
+def test_neighbor_cap():
+    # dense cluster: cap must keep only the first 8 in-range sources per target
+    pos, mask, x, w1, b1, w2, b2 = map(jnp.asarray, _problem(g=1, n=16, seed=2))
+    capped = fused_cfconv(pos, mask, x, w1, b1, w2, b2, 10.0, 10, 8)
+    ref = _cfconv_xla(pos, mask, x, w1, b1, w2, b2, cutoff=10.0, num_gaussians=10,
+                      max_neighbors=8)
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(ref), atol=1e-4)
