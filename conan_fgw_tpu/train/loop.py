@@ -49,6 +49,9 @@ class TrainSettings:
     seed: int = 5
     shuffle: bool = False  # reference DataLoaders do not shuffle
     max_atoms: int | None = None
+    # micro-batch accumulation (the reference defines but never registers its
+    # GradientAccumulationScheduler; off by default for parity)
+    accumulate_steps: int = 1
 
 
 class TrainState(train_state.TrainState):
@@ -106,19 +109,28 @@ def make_loss_fn(model, settings: TrainSettings) -> Callable:
 
 
 def make_optimizer(settings: TrainSettings) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(settings.grad_clip),
         optax.inject_hyperparams(optax.adam)(learning_rate=settings.learning_rate),
     )
+    if settings.accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=settings.accumulate_steps)
+    return tx
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    opt_state = list(state.opt_state)
-    inner = opt_state[1]
-    opt_state[1] = inner._replace(
-        hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr, jnp.float32)}
-    )
-    return state.replace(opt_state=tuple(opt_state))
+    def update_chain(opt_state):
+        parts = list(opt_state)
+        inner = parts[1]
+        parts[1] = inner._replace(
+            hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr, jnp.float32)}
+        )
+        return tuple(parts)
+
+    o = state.opt_state
+    if isinstance(o, optax.MultiStepsState):
+        return state.replace(opt_state=o._replace(inner_opt_state=update_chain(o.inner_opt_state)))
+    return state.replace(opt_state=update_chain(o))
 
 
 def make_step_fns(model, settings: TrainSettings):
