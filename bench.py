@@ -61,11 +61,14 @@ def _measure(batch_size: int, steps: int = STEPS) -> dict:
     jax.block_until_ready(loss)
     compile_s = time.perf_counter() - t_compile0
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss = train_step(state, batch)
-    jax.block_until_ready(loss)
-    step_s = (time.perf_counter() - t0) / steps
+    # best-of-3 windows: tunneled-TPU dispatch latency is noisy
+    step_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = train_step(state, batch)
+        jax.block_until_ready(loss)
+        step_s = min(step_s, (time.perf_counter() - t0) / steps)
     assert np.isfinite(float(loss)), "benchmark train step produced non-finite loss"
     return {
         "step_s": step_s,

@@ -150,9 +150,10 @@ def make_step_fns(model, settings: TrainSettings):
 
 
 def init_state(model, settings: TrainSettings, sample_batch: PackedBatch, rng_seed=0):
-    params = model.init(
-        jax.random.PRNGKey(rng_seed), sample_batch, use_barycenter=True
-    )
+    # jit the init: eager tracing dispatches hundreds of tiny ops, which is
+    # painfully slow on remote/tunneled devices
+    init_fn = jax.jit(lambda rng, b: model.init(rng, b, use_barycenter=True))
+    params = init_fn(jax.random.PRNGKey(rng_seed), sample_batch)
     tx = make_optimizer(settings)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
