@@ -39,6 +39,9 @@ def _records():
 
 def _measure(batch_size: int, steps: int = STEPS) -> dict:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from conan_fgw_tpu.data.loader import pack
@@ -79,15 +82,24 @@ def _measure(batch_size: int, steps: int = STEPS) -> dict:
     }
 
 
-def measure_tpu_step() -> dict:
-    import jax
+def _measure_subprocess(batch_size: int) -> dict:
+    """Each measurement in a fresh process: this environment's device tunnel
+    degrades ~100x for any executable after the first one in a process."""
+    import subprocess
+    import sys
 
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    out = _measure(B)
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def measure_tpu_step() -> dict:
+    out = _measure_subprocess(B)
     # device-saturating batch: the reference batch (24) is dispatch-bound on
     # a v5e; the large-batch figure shows the per-chip compute ceiling
-    big = _measure(256)
+    big = _measure_subprocess(256)
     out["large_batch"] = {
         "batch": 256,
         "step_s": round(big["step_s"], 5),
@@ -140,4 +152,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--measure":
+        print(json.dumps(_measure(int(sys.argv[2]))))
+    else:
+        main()

@@ -44,6 +44,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch_dict, mesh: Mesh):
-    """Device-put every array in the batch with its leading axis sharded."""
+    """Device-put every array in the batch with its leading axis sharded.
+
+    On multi-host meshes each process passes its local shard (see
+    ``data.loader.shard_range``) and the global array is assembled with
+    ``make_array_from_process_local_data``.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch_dict,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch_dict)

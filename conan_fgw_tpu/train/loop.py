@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+from functools import partial
 from typing import Callable, Iterable, Sequence
 
 import jax
@@ -136,7 +137,7 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 def make_step_fns(model, settings: TrainSettings):
     loss_fn = make_loss_fn(model, settings)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: PackedBatch):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         return state.apply_gradients(grads=grads), loss

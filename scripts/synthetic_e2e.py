@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--size", type=int, default=200)
     ap.add_argument("--models_dir", default="/tmp/conan_fgw_tpu_synth")
     args = ap.parse_args()
