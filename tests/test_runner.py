@@ -1,0 +1,82 @@
+"""Two-stage runner pipeline on a tiny synthetic dataset (CPU, fast)."""
+
+import numpy as np
+
+from conan_fgw_tpu.data.synthetic import random_dataset
+from conan_fgw_tpu.train.config import ExperimentConfig, load_config
+from conan_fgw_tpu.train.runner import STAGE_BC, STAGE_PRE, build_model, run_experiment
+
+
+def _datasets():
+    full = random_dataset(9, 20, num_conformers=2, heavy_range=(4, 6))
+    return {"train": full[:12], "valid": full[12:16], "test": full[16:]}
+
+
+def _config(experiment, epochs=2):
+    return ExperimentConfig(
+        dataset_name=["syn"], target=["y"], num_conformers=2, batch_size=6,
+        experiment=experiment, num_epochs=epochs, learning_rate=1e-3, max_atoms=32,
+    )
+
+
+class TestTwoStagePipeline:
+    def test_pre_then_bc_warm_start(self, tmp_path):
+        datasets = _datasets()
+        s1, runs1 = run_experiment(
+            _config("regression"), stage=STAGE_PRE, datasets=datasets,
+            run_name="t", run_id="1", models_dir=str(tmp_path),
+        )
+        assert np.isfinite(s1["test_rmse"]["mean"])
+        # stage 2 must find and restore the stage-1 checkpoint
+        s2, runs2 = run_experiment(
+            _config("regression_bc"), stage=STAGE_BC, datasets=datasets,
+            run_name="t", run_id="1", models_dir=str(tmp_path),
+        )
+        assert np.isfinite(s2["test_rmse"]["mean"])
+        assert (tmp_path / "t" / "1" / "run_conan_fgw_pre:0" / "best.npz").exists()
+        assert (tmp_path / "t" / "1" / "run_conan_fgw:0" / "best.npz").exists()
+
+    def test_classification_pipeline(self, tmp_path):
+        full = random_dataset(10, 20, num_conformers=2, heavy_range=(4, 6),
+                              classification=True)
+        # ensure both classes in every split
+        for r, y in zip(full, [0.0, 1.0] * 10):
+            r.y = y
+        datasets = {"train": full[:12], "valid": full[12:16], "test": full[16:]}
+        s, _ = run_experiment(
+            _config("classification_bc"), stage=STAGE_BC, datasets=datasets,
+            run_name="c", run_id="1", models_dir=str(tmp_path),
+        )
+        assert 0.0 <= s["test_auroc"]["mean"] <= 1.0
+
+
+class TestConfigCompat:
+    def test_reference_yaml_parses(self, tmp_path):
+        p = tmp_path / "ref.yaml"
+        p.write_text(
+            "disable_distribution: false\n"
+            "dataset_name: ['esol']\n"
+            "dummy_size: -1\n"
+            "target: [ 'measured_log_sol']\n"
+            "num_conformers: 5\n"
+            "prune_conformers: false\n"
+            "batch_size: 24\n"
+            "experiment: conan_fgw.src.experiments.SOTAExperimentBaryCenter\n"
+            "num_epochs: 80\n"
+            "early_stopping:\n  min_delta: 0.0001\n  patience: 50\n"
+            "learning_rate: 0.0005\nuse_lr_finder: false\nuse_wandb: false\n"
+            "agg_weight: 0.2\n"
+        )
+        cfg = load_config(str(p))
+        assert cfg.spec.task == "regression" and cfg.spec.barycenter
+        assert cfg.es_patience == 50 and cfg.agg_weight == 0.2
+        model = build_model(cfg, STAGE_BC)
+        assert model.hidden_channels == 128
+
+    def test_repo_configs_parse(self):
+        import glob
+
+        for path in glob.glob("config/*/*.yaml"):
+            cfg = load_config(path)
+            _ = cfg.spec
+            _ = build_model(cfg, STAGE_BC)
