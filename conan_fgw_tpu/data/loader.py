@@ -53,6 +53,38 @@ def batches(
         yield pack(chunk, max_atoms=max_atoms, batch_size=batch_size)
 
 
+def bucketed_batches(
+    records: Sequence[MoleculeRecord],
+    batch_size: int,
+    *,
+    buckets=None,
+    shuffle: bool = False,
+    rng: np.random.Generator | None = None,
+) -> Iterator[PackedBatch]:
+    """Atom-count-bucketed batching: group molecules by padded size so each
+    compiled step shape wastes minimal padding (SURVEY §7 "bucketing").
+
+    At most ``len(buckets)`` distinct shapes reach XLA. Batch composition
+    differs from the reference's sequential order — opt-in.
+    """
+    from conan_fgw_tpu.data.packing import DEFAULT_BUCKETS, bucket_for
+
+    buckets = buckets or DEFAULT_BUCKETS
+    groups: dict[int, list[MoleculeRecord]] = {}
+    for r in records:
+        groups.setdefault(bucket_for(r.num_atoms, buckets), []).append(r)
+    order = list(groups)
+    if shuffle:
+        rng = rng or np.random.default_rng()
+        rng.shuffle(order)
+        for g in groups.values():
+            rng.shuffle(g)
+    for b in order:
+        g = groups[b]
+        for s in range(0, len(g), batch_size):
+            yield pack(g[s : s + batch_size], max_atoms=b, batch_size=batch_size)
+
+
 class Prefetcher:
     """Wrap a batch iterator with an N-deep background prefetch queue."""
 
