@@ -98,18 +98,22 @@ class TestMultiDevice:
         state = loop_lib.init_state(model, settings, batch)
         train_step, _ = loop_lib.make_step_fns(model, settings)
 
-        s1, l1 = train_step(state, batch)
-        l1 = float(l1)
-
+        # Make the sharded copies BEFORE stepping: train_step donates the
+        # state buffers, so `state` is invalid after the first call.
         mesh = create_mesh(8)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharded = jax.tree.map(
             lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch
         )
+        # np.array() forces a host copy: device_put alone may alias the
+        # source buffer on the CPU backend, which donation then invalidates.
         rep_state = jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), state
+            lambda x: jax.device_put(np.array(x), NamedSharding(mesh, P())), state
         )
+
+        s1, l1 = train_step(state, batch)
+        l1 = float(l1)
         s8, l8 = train_step(rep_state, sharded)
         np.testing.assert_allclose(l1, float(l8), rtol=1e-5)
         d = jax.tree.map(
