@@ -15,6 +15,19 @@ import jax.numpy as jnp
 xavier = nn.initializers.xavier_uniform()
 
 
+class AttentionLayer(nn.Module):
+    """Gated softmax attention map (``attention_layer.py:6-14``,
+    ``Attention_Layer`` — defined but unused by the reference heads; kept for
+    inventory parity). Returns ``softmax(X ⊙ W(X))`` over axis 1."""
+
+    n_feats: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = nn.Dense(self.n_feats, kernel_init=xavier)(x)
+        return nn.softmax(x * w, axis=1)
+
+
 class SelfAttention(nn.Module):
     input_dim: int
 

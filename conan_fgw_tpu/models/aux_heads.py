@@ -31,6 +31,31 @@ def _flatten(batch):
     )
 
 
+class ScalarsAggregation(nn.Module):
+    """Plain scalar-energy SchNet → conformer mean (schnet_based_models.py:48-63).
+
+    The reference wires ``model_name='simple_schnet'`` = an unmodified PyG
+    ``SchNet()`` whose readout pools a per-atom *scalar* head (hidden=128,
+    filters=128, gaussians=50, 6 interactions), then means over conformers
+    with no extra linear. Here the scalar head is the backbone's half-width
+    head followed by a Dense(1) before the masked sum readout.
+    """
+
+    hidden_channels: int = 128
+
+    @nn.compact
+    def __call__(self, batch, use_barycenter: bool = False):
+        zf, posf, maskf, (B, K, N) = _flatten(batch)
+        h = SchNet3D(
+            hidden_channels=self.hidden_channels,
+            num_filters=128,
+            num_gaussians=50,
+            num_interactions=6,
+        )(zf, posf, maskf)
+        e = nn.Dense(1, kernel_init=xavier)(h)  # per-atom scalar energies
+        return masked_sum(e, maskf).reshape(B, K, 1).mean(axis=1)
+
+
 class EmbeddingsAggregation(nn.Module):
     """SchNet embeddings → conformer mean → linear (schnet_based_models.py:65-81)."""
 

@@ -184,6 +184,17 @@ class ConanModel(nn.Module):
         x_bary = jnp.sum(y_bary, axis=-2)  # sum-readout (pads included, as ref)
         return x3d, x_bary
 
+    def embeddings(self, batch):
+        """Visualization path: per-conformer 3D readouts and the molecule-level
+        barycenter embedding, before fusion (the reference's
+        ``EmbeddingsVisualizationBaryCenter.forward`` /
+        ``forward_w_barycenter_visualization``,
+        ``schnet_based_models.py:372-417``). Returns a dict
+        ``{"x3d": (B, K, C), "x_bary": (B, C), "x_cov": (B, C)}``."""
+        x3d, x_bary = self._conformer_readouts(batch, use_barycenter=True)
+        x_cov = self.gat(batch.x2d, batch.bond_adj, batch.bond_attr, batch.atom_mask)
+        return {"x3d": x3d, "x_bary": x_bary, "x_cov": x_cov}
+
     def __call__(self, batch, use_barycenter: bool = False):
         """Returns predictions ``(B, 1)`` (sigmoid-squashed for classification)."""
         if self.is_initializing():

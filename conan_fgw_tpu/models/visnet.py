@@ -79,6 +79,7 @@ class ViS_MP(nn.Module):
     last_layer: bool = False
     vecnorm_type: Optional[str] = None
     trainable_vecnorm: bool = False
+    vertex: bool = False  # ViS_MP_Vertex (torch_geometric_visnet.py:676-738)
 
     @nn.compact
     def __call__(self, x, vec, f, dist, dvec_unit, edge_mask):
@@ -144,7 +145,20 @@ class ViS_MP(nn.Module):
         w1 = reject(w_trg[..., :, None, :, :], dvec_unit)  # vec_i vs d_ij
         w2 = reject(w_src[..., None, :, :, :], -dvec_unit)  # vec_j vs -d_ij
         w_dot = jnp.sum(w1 * w2, axis=-2)  # (..., i, j, H)
-        df = act(nn.Dense(H, kernel_init=xavier, name="f_proj")(f)) * w_dot
+        if self.vertex:
+            # vertex geometric features: a second rejection product built from
+            # the *target* vectors alone, gated by the split f-projection
+            # (ViS_MP_Vertex.edge_update, torch_geometric_visnet.py:726-738)
+            t_trg = nn.Dense(H, use_bias=False, kernel_init=xavier, name="t_trg_proj")(vec_ln)
+            t_src = nn.Dense(H, use_bias=False, kernel_init=xavier, name="t_src_proj")(vec_ln)
+            t1 = reject(t_trg[..., :, None, :, :], dvec_unit)  # vec_i vs d_ij
+            t2 = reject(t_src[..., :, None, :, :], -dvec_unit)  # vec_i vs -d_ij
+            t_dot = jnp.sum(t1 * t2, axis=-2)
+            f12 = act(nn.Dense(2 * H, kernel_init=xavier, name="f_proj")(f))
+            f1, f2 = jnp.split(f12, 2, axis=-1)
+            df = f1 * w_dot + f2 * t_dot
+        else:
+            df = act(nn.Dense(H, kernel_init=xavier, name="f_proj")(f)) * w_dot
         return dx, dvec, df * m[..., None]
 
 
@@ -218,6 +232,7 @@ class ViSNet3D(nn.Module):
     max_neighbors: int = 32
     vecnorm_type: Optional[str] = None
     trainable_vecnorm: bool = False
+    vertex: bool = False  # use ViS_MP_Vertex message passing
     remat: bool = True
 
     def setup(self):
@@ -238,6 +253,7 @@ class ViSNet3D(nn.Module):
                 last_layer=(i == self.num_layers - 1),
                 vecnorm_type=self.vecnorm_type,
                 trainable_vecnorm=self.trainable_vecnorm,
+                vertex=self.vertex,
             )
             for i in range(self.num_layers)
         ]

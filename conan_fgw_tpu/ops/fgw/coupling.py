@@ -52,6 +52,7 @@ def gw_grad(constC, hC1, hC2, T):
         "sinkhorn_thr",
         "loss_fun",
         "symmetric",
+        "solver",
     ),
 )
 def fgw_coupling(
@@ -70,13 +71,20 @@ def fgw_coupling(
     sinkhorn_thr: float = 1e-2,
     loss_fun: str = "square_loss",
     symmetric: bool = True,
+    solver: str = "PGD",
 ) -> jnp.ndarray:
     """Solve one FGW coupling ``T`` between graphs ``(C1, p)`` and ``(C2, q)``.
 
     ``M`` is the (N1, N2) feature-distance cost; ``alpha`` trades structure
     against features as in the reference. ``T0`` warm-starts the plan
     (defaults to the independent coupling ``p q^T``).
+
+    ``solver``: "PGD" (entropic projected gradient, the reference hot path)
+    or "PPA" (proximal point: the gradient gets an extra ``-eps*log(T)``
+    term, ``bregman.py:131-132``).
     """
+    if solver not in ("PGD", "PPA"):
+        raise ValueError(f"unknown solver {solver!r}; pick 'PGD' or 'PPA'")
     # OT iterations exponentiate their inputs — keep matmuls in true f32
     # even on TPU MXUs (tiny matrices; precision is effectively free).
     with jax.default_matmul_precision("highest"):
@@ -103,6 +111,8 @@ def fgw_coupling(
                 tens = (alpha * 0.5) * (
                     gw_grad(constC, hC1, hC2, T) + gw_grad(constCt, hC1t, hC2t, T)
                 ) + (1.0 - alpha) * M
+            if solver == "PPA":
+                tens = tens - epsilon * jnp.log(jnp.maximum(T, 1e-30))
             T_new = sinkhorn_log(
                 p, q, tens, epsilon, num_iters=sinkhorn_iters, stop_thr=sinkhorn_thr
             )

@@ -38,6 +38,7 @@ def test_esan_variants(cls, batch):
 @pytest.mark.parametrize(
     "cls",
     [
+        aux_heads.ScalarsAggregation,
         aux_heads.EmbeddingsAggregation,
         aux_heads.CovalentEmbeddingsAggregation,
         aux_heads.AttentionEmbeddingsAggregation,
@@ -50,6 +51,34 @@ def test_aux_heads(cls, batch):
     out = np.asarray(model.apply(params, batch))
     assert out.shape == (2, 1)
     assert np.isfinite(out).all()
+
+
+def test_attention_layer():
+    from conan_fgw_tpu.models.attention import AttentionLayer
+
+    layer = AttentionLayer(n_feats=8)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 5, 8)), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(layer.apply(params, x))
+    assert out.shape == (3, 5, 8)
+    # softmax over axis 1: columns sum to one
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_visualization_embeddings(batch):
+    """ConanModel.embeddings mirrors EmbeddingsVisualizationBaryCenter."""
+    from conan_fgw_tpu.models.heads import ConanModel
+
+    model = ConanModel(
+        task="classification", hidden_channels=32, num_filters=32, num_gaussians=10
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    emb = model.apply(params, batch, method="embeddings")
+    B, K, _ = batch.z.shape
+    assert emb["x3d"].shape == (B, K, 16)
+    assert emb["x_bary"].shape == (B, 16)
+    assert emb["x_cov"].shape == (B, 16)
+    assert all(np.isfinite(np.asarray(v)).all() for v in emb.values())
 
 
 def test_esan_head(batch):

@@ -82,6 +82,28 @@ class TestCoupling:
         )
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4)
 
+    def test_ppa_against_reference(self, reference_fgw):
+        """PPA proximal-point variant: extra ``-eps*log(T)`` gradient term
+        (``bregman.py:131-132``)."""
+        import torch
+        from conan_fgw.src.model.fgw.bregman import fgw as ref_fgw
+
+        rng = np.random.default_rng(5)
+        Ys, Cs, ps, p, _ = _rand_problem(rng, K=2, N=9)
+        M = np.sum((Ys[0][:, None, :] - Ys[1][None, :, :]) ** 2, -1).astype(np.float32)
+        ours = fgw_coupling(
+            M, Cs[0], Cs[1], p, ps[1], None,
+            alpha=0.1, epsilon=0.1, pgd_iters=5, pgd_tol=1e-4,
+            sinkhorn_iters=5, sinkhorn_thr=1e-2, solver="PPA",
+        )
+        ref = ref_fgw(
+            torch.tensor(M), torch.tensor(Cs[0]), torch.tensor(Cs[1]),
+            torch.tensor(p), torch.tensor(ps[1]),
+            "square_loss", 0.1, True, 0.1, None, 5, 1e-4,
+            solver="PPA", method="sinkhorn_log", numItermax=5, stopThr=1e-2,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4)
+
 
 class TestBarycenter:
     def test_against_reference_random(self, reference_fgw):

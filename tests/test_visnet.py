@@ -66,6 +66,23 @@ class TestViSNet:
         b = np.asarray(model.apply(params, z32, pos32, mask32))
         np.testing.assert_allclose(a, b[:, :24], atol=1e-5)
 
+    def test_vertex_variant(self, setup):
+        """ViS_MP_Vertex: extra t_src/t_trg rejection gate in the edge update
+        (torch_geometric_visnet.py:676-738). Must stay E(3)-invariant."""
+        _, z, pos, mask, _, _ = setup
+        model = ViSNet3D(**SMALL, vertex=True)
+        params = model.init(jax.random.PRNGKey(0), z, pos, mask)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = {"/".join(str(p) for p in path) for path, _ in flat}
+        assert any("t_src_proj" in n for n in names)
+        out = model.apply(params, z, pos, mask)
+        assert np.isfinite(np.asarray(out)).all()
+        q, _ = np.linalg.qr(np.random.default_rng(7).standard_normal((3, 3)))
+        moved = pos @ jnp.asarray(q.T, jnp.float32) + jnp.asarray([1.0, 2.0, -3.0])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(model.apply(params, z, moved, mask)), atol=1e-5
+        )
+
     def test_full_model_both_stages(self, setup):
         batch, *_ = setup
         model = ConanModel(
