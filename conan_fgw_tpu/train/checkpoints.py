@@ -104,6 +104,38 @@ class RunCheckpointer:
         self._save("last", state.params)
         self._meta("last", epoch)
 
+    def save_state(self, state, epoch: int, loop_state: dict | None = None):
+        """Full train state (params + optimiser + step) for mid-run resume.
+
+        The reference has no training-time fault tolerance (a DDP rank
+        failure kills the job, SURVEY §5); here an interrupted run restarts
+        from the last epoch boundary, including the plateau/early-stopping
+        schedule state carried in ``loop_state``.
+        """
+        self._save("last_state", (state.params, state.opt_state, state.step))
+        with open(os.path.join(self.directory, "last_state.meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "loop": loop_state or {}}, f)
+
+    def restore_state(self, state_template, which: str = "last_state"):
+        """Returns ``(restored_state, meta_dict)``; template supplies structure."""
+        tpl = (state_template.params, state_template.opt_state, state_template.step)
+        if self.backend == "orbax":
+            path = os.path.abspath(os.path.join(self.directory, f"{which}.orbax"))
+            shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), tpl
+            )
+            params, opt_state, step = self._orbax.restore(path, shapes)
+        else:
+            params, opt_state, step = _restore_pytree(
+                os.path.join(self.directory, which), tpl
+            )
+        with open(os.path.join(self.directory, f"{which}.meta.json")) as f:
+            meta = json.load(f)
+        state = state_template.replace(
+            params=params, opt_state=opt_state, step=int(np.asarray(step))
+        )
+        return state, meta
+
     def restore_params(self, template, which: str = "best"):
         if self.backend == "orbax":
             path = os.path.abspath(os.path.join(self.directory, f"{which}.orbax"))

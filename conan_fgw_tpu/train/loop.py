@@ -201,8 +201,14 @@ def fit(
     mesh=None,
     checkpointer=None,
     log_every: int = 1,
+    resume: bool = False,
 ) -> FitResult:
-    """Epoch loop with plateau LR, early stopping, and best-checkpoint tracking."""
+    """Epoch loop with plateau LR, early stopping, and best-checkpoint tracking.
+
+    ``resume=True`` restarts an interrupted run from the checkpointer's last
+    epoch boundary (optimiser + schedule state included) — the rebuild's
+    fault-tolerance story (SURVEY §5: driver restarts + checkpoint resume).
+    """
     max_atoms = settings.max_atoms or dataset_max_atoms(list(train_records) + list(val_records))
     first = next(iter(batch_iterator(train_records, settings.batch_size, max_atoms)))
     if state is None:
@@ -218,8 +224,28 @@ def fit(
     best_epoch = -1
     history = []
     rng = np.random.default_rng(settings.seed)
+    start_epoch = 0
 
-    for epoch in range(settings.num_epochs):
+    if resume and checkpointer is not None and checkpointer.has("last_state"):
+        state, meta = checkpointer.restore_state(state)
+        loop_meta = meta.get("loop", {})
+        start_epoch = meta["epoch"] + 1
+        plateau.lr = loop_meta.get("lr", plateau.lr)
+        plateau.best = loop_meta.get("plateau_best", plateau.best)
+        plateau.num_bad = loop_meta.get("plateau_num_bad", plateau.num_bad)
+        stopper.best = loop_meta.get("stopper_best", stopper.best)
+        stopper.num_bad = loop_meta.get("stopper_num_bad", stopper.num_bad)
+        best = loop_meta.get("best", best)
+        best_epoch = loop_meta.get("best_epoch", best_epoch)
+        history = loop_meta.get("history", [])
+        state = set_learning_rate(state, plateau.lr)
+        # replay the data-order rng to the epoch boundary
+        for _ in range(start_epoch):
+            if settings.shuffle:
+                rng.permutation(len(train_records))
+        log.info("resumed from epoch %d (lr=%.2e)", start_epoch, plateau.lr)
+
+    for epoch in range(start_epoch, settings.num_epochs):
         t0 = time.time()
         train_losses = []
         for pb in batch_iterator(
@@ -260,11 +286,24 @@ def fit(
                 best_epoch = epoch
                 if checkpointer is not None:
                     checkpointer.save_best(state, epoch, {settings.monitor: monitored})
+        state = set_learning_rate(state, plateau.step(val_loss))
+        should_stop = stopper.step(val_loss)
         if checkpointer is not None:
             checkpointer.save_last(state, epoch)
-
-        state = set_learning_rate(state, plateau.step(val_loss))
-        if stopper.step(val_loss):
+            checkpointer.save_state(
+                state, epoch,
+                {
+                    "lr": plateau.lr,
+                    "plateau_best": plateau.best,
+                    "plateau_num_bad": plateau.num_bad,
+                    "stopper_best": stopper.best,
+                    "stopper_num_bad": stopper.num_bad,
+                    "best": float(best),
+                    "best_epoch": best_epoch,
+                    "history": history,
+                },
+            )
+        if should_stop:
             log.info("early stopping at epoch %d", epoch)
             break
 

@@ -12,6 +12,7 @@ Usage (CLI):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import os
@@ -51,6 +52,15 @@ def build_model(config: ExperimentConfig, stage: str) -> ConanModel:
         return ConanModel(
             backbone_name="visnet", cutoff=5.0, bary_shift=1.0,
             bary_postnorm="l2col", **common,
+        )
+    if config.model_name == "dimenet":
+        # DimeNet solves the barycenter with alpha=0.5 and a *fixed* structure
+        # matrix (init_C = first conformer's adjacency) — dimenet.py:235-260
+        common["fgw"] = dataclasses.replace(
+            common["fgw"], alpha=0.5, fixed_structure=True
+        )
+        return ConanModel(
+            backbone_name="dimenet", cutoff=5.0, bary_shift=0.5, **common
         )
     filters, gaussians = (256, 10) if spec.task == "classification" else (128, 50)
     return ConanModel(
@@ -115,6 +125,8 @@ def run_experiment(
     datasets: dict | None = None,
     mesh=None,
     records_provider: Callable[[str], Sequence] | None = None,
+    resume: bool = False,
+    profile_dir: str | None = None,
 ):
     """Train/evaluate ``number_of_runs`` times; returns (summary, per-run list).
 
@@ -176,10 +188,19 @@ def run_experiment(
             log.info("lr finder suggestion: %.2e", found["suggestion"])
             settings.learning_rate = found["suggestion"]
 
-        result = loop_lib.fit(
-            model, settings, datasets["train"], datasets["valid"],
-            state=state, mesh=mesh, checkpointer=ckpt,
-        )
+        if profile_dir:
+            from conan_fgw_tpu.utils.profiling import device_trace
+
+            with device_trace(os.path.join(profile_dir, f"run{run_idx}")):
+                result = loop_lib.fit(
+                    model, settings, datasets["train"], datasets["valid"],
+                    state=state, mesh=mesh, checkpointer=ckpt, resume=resume,
+                )
+        else:
+            result = loop_lib.fit(
+                model, settings, datasets["train"], datasets["valid"],
+                state=state, mesh=mesh, checkpointer=ckpt, resume=resume,
+            )
 
         # evaluate the best checkpoint on the test split (trainer.test(ckpt_path="best"))
         best_params = (
@@ -215,8 +236,18 @@ def main(argv=None):
     ap.add_argument("--run_id", default="0")
     ap.add_argument("--models_dir", default="outputs/models")
     ap.add_argument("--logs_dir", default="outputs/logs")
-    ap.add_argument("--model_name", default=None, choices=[None, "schnet", "visnet"])
+    ap.add_argument(
+        "--model_name", default=None, choices=[None, "schnet", "visnet", "dimenet"]
+    )
     ap.add_argument("--out_json", default=None)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted run from its last epoch checkpoint",
+    )
+    ap.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler device trace of the fit into this directory",
+    )
     ap.add_argument(
         "--platform",
         default=None,
@@ -242,6 +273,8 @@ def main(argv=None):
         run_name=args.run_name,
         run_id=args.run_id,
         models_dir=args.models_dir,
+        resume=args.resume,
+        profile_dir=args.profile_dir,
     )
     if args.out_json:
         with open(args.out_json, "w") as f:

@@ -36,6 +36,32 @@ class TestTwoStagePipeline:
         assert (tmp_path / "t" / "1" / "run_conan_fgw_pre:0" / "best.npz").exists()
         assert (tmp_path / "t" / "1" / "run_conan_fgw:0" / "best.npz").exists()
 
+    def test_resume_flag(self, tmp_path):
+        """Interrupting after N epochs and re-running with resume=True picks
+        up at the saved epoch instead of restarting."""
+        datasets = _datasets()
+        run_experiment(
+            _config("regression", epochs=2), stage=STAGE_PRE, datasets=datasets,
+            run_name="r", run_id="1", models_dir=str(tmp_path),
+        )
+        s, runs = run_experiment(
+            _config("regression", epochs=4), stage=STAGE_PRE, datasets=datasets,
+            run_name="r", run_id="1", models_dir=str(tmp_path), resume=True,
+        )
+        hist = runs[0]["history"]
+        assert [h["epoch"] for h in hist] == [0, 1, 2, 3]
+        assert np.isfinite(s["test_rmse"]["mean"])
+
+    def test_dimenet_model(self, tmp_path):
+        """DimeNet backbone wiring: alpha=0.5, fixed-structure FGW
+        (dimenet.py:235-260)."""
+        cfg = _config("regression_bc")
+        cfg.model_name = "dimenet"
+        model = build_model(cfg, STAGE_BC)
+        assert model.backbone_name == "dimenet"
+        assert model.fgw.alpha == 0.5 and model.fgw.fixed_structure
+        assert model.bary_shift == 0.5
+
     def test_classification_pipeline(self, tmp_path):
         full = random_dataset(10, 20, num_conformers=2, heavy_range=(4, 6),
                               classification=True)

@@ -65,6 +65,42 @@ class TestFit:
         assert np.isfinite(m["mse"])
 
 
+class TestResume:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """3 epochs + resume(6) must reproduce a straight 6-epoch run exactly:
+        optimiser state, plateau/early-stop counters, and history all round-trip
+        through the last_state checkpoint."""
+        recs = random_dataset(7, 16, num_conformers=2, heavy_range=(4, 6))
+        val = recs[:8]
+
+        model = ConanModel(**SMALL)
+        straight = loop_lib.fit(
+            model, _settings(num_epochs=6), recs, val,
+            checkpointer=RunCheckpointer(str(tmp_path / "straight")),
+        )
+
+        ckpt = RunCheckpointer(str(tmp_path / "resumed"))
+        model2 = ConanModel(**SMALL)
+        loop_lib.fit(model2, _settings(num_epochs=3), recs, val, checkpointer=ckpt)
+        assert ckpt.has("last_state")
+        resumed = loop_lib.fit(
+            model2, _settings(num_epochs=6), recs, val,
+            checkpointer=ckpt, resume=True,
+        )
+
+        assert len(resumed.history) == 6
+        assert resumed.history[3]["epoch"] == 3  # continued, not restarted
+        for a, b in zip(straight.history, resumed.history):
+            np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-6)
+            np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-6)
+        assert straight.best_epoch == resumed.best_epoch
+        d = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            straight.state.params, resumed.state.params,
+        )
+        assert max(jax.tree.leaves(d)) < 1e-5
+
+
 class TestSchedules:
     def test_plateau(self):
         s = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
