@@ -127,6 +127,7 @@ def run_experiment(
     records_provider: Callable[[str], Sequence] | None = None,
     resume: bool = False,
     profile_dir: str | None = None,
+    metrics_dir: str | None = None,
 ):
     """Train/evaluate ``number_of_runs`` times; returns (summary, per-run list).
 
@@ -218,6 +219,19 @@ def run_experiment(
         run_metrics = {f"test_{k}": v for k, v in test_metrics.items()}
         run_metrics["best_epoch"] = result.best_epoch
         run_metrics[settings.monitor] = result.best_metric
+        if metrics_dir:
+            # per-epoch metrics CSV, the Lightning CSVLogger analog
+            # (trainer.py:184-197; outputs/metrics layout)
+            from conan_fgw_tpu.utils.profiling import PhaseCSVLogger
+
+            csv_path = os.path.join(
+                metrics_dir, run_name, str(run_id), f"run_{stage}:{run_idx}", "metrics.csv"
+            )
+            if os.path.exists(csv_path):  # full history is rewritten each fit
+                os.remove(csv_path)
+            csv_log = PhaseCSVLogger(csv_path)
+            for row in result.history:
+                csv_log.log(row)
         avg.register(run_metrics)
         per_run.append({"metrics": run_metrics, "history": result.history})
         log.info("run %d done: %s", run_idx, run_metrics)
@@ -236,6 +250,7 @@ def main(argv=None):
     ap.add_argument("--run_id", default="0")
     ap.add_argument("--models_dir", default="outputs/models")
     ap.add_argument("--logs_dir", default="outputs/logs")
+    ap.add_argument("--metrics_dir", default="outputs/metrics")
     ap.add_argument(
         "--model_name", default=None, choices=[None, "schnet", "visnet", "dimenet"]
     )
@@ -275,6 +290,7 @@ def main(argv=None):
         models_dir=args.models_dir,
         resume=args.resume,
         profile_dir=args.profile_dir,
+        metrics_dir=args.metrics_dir,
     )
     if args.out_json:
         with open(args.out_json, "w") as f:
