@@ -69,13 +69,18 @@ class SchNet3D(nn.Module):
     max_neighbors: Optional[int] = 32
     neighbor_cap_mode: str = "index"
     use_covalent: bool = False
+    # rematerialise each interaction block in the backward pass: the cfconv's
+    # (B·K, N, N, F) filter tensor is the model's dominant activation; without
+    # remat the backward keeps one per block live in HBM, capping batch size
+    remat: bool = True
 
     def setup(self):
         self.embedding = nn.Embed(
             100, self.hidden_channels, embedding_init=nn.initializers.normal(1.0)
         )
+        block = nn.remat(InteractionBlock) if self.remat else InteractionBlock
         self.blocks = [
-            InteractionBlock(self.hidden_channels, self.num_filters, self.cutoff)
+            block(self.hidden_channels, self.num_filters, self.cutoff)
             for _ in range(self.num_interactions)
         ]
         if self.use_covalent:
@@ -83,7 +88,7 @@ class SchNet3D(nn.Module):
             # 3-dim bond features as "RBF" input and unit edge weights
             # (schnet_no_sum.py:132-142,166-175)
             self.blocks_cov = [
-                InteractionBlock(self.hidden_channels, self.num_filters, self.cutoff)
+                block(self.hidden_channels, self.num_filters, self.cutoff)
                 for _ in range(self.num_interactions)
             ]
         half = self.hidden_channels // 2
