@@ -89,6 +89,9 @@ class ConanModel(nn.Module):
     bary_norm: Tuple[float, float] = (0.1, 2.0)
     bary_pad_mode: str = "reference"
     bary_postnorm: str = "none"  # "l2col" for ViSNet (visnet.py:233-241)
+    # trunk matmul dtype: "bfloat16" runs the SchNet cfconv at full MXU rate
+    # (params, fusion heads, and the FGW solver stay f32)
+    compute_dtype: str = "float32"
 
     def setup(self):
         half = self.hidden_channels // 2
@@ -100,6 +103,7 @@ class ConanModel(nn.Module):
                 num_interactions=self.num_interactions,
                 cutoff=self.cutoff,
                 max_neighbors=self.max_neighbors,
+                compute_dtype=self.compute_dtype,
             )
         elif self.backbone_name == "visnet":
             from conan_fgw_tpu.models.visnet import ViSNet3D

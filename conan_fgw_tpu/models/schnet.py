@@ -28,27 +28,39 @@ xavier = nn.initializers.xavier_uniform()
 
 
 class InteractionBlock(nn.Module):
-    """One continuous-filter convolution block (PyG ``InteractionBlock``)."""
+    """One continuous-filter convolution block (PyG ``InteractionBlock``).
+
+    ``dtype`` is the compute dtype: parameters stay f32 (flax casts them per
+    matmul), the MXU accumulates in f32, and only the stored activations are
+    low-precision — standard TPU mixed precision.
+    """
 
     hidden_channels: int
     num_filters: int
     cutoff: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, rbf, dist, nbr_mask):
+        h = h.astype(self.dtype)
+        rbf = rbf.astype(self.dtype)
         # filter network on the RBF-expanded distances
-        w = nn.Dense(self.num_filters, kernel_init=xavier)(rbf)
+        w = nn.Dense(self.num_filters, kernel_init=xavier, dtype=self.dtype)(rbf)
         w = shifted_softplus(w)
-        w = nn.Dense(self.num_filters, kernel_init=xavier)(w)
-        # smooth cosine-cutoff envelope (PyG CFConv)
+        w = nn.Dense(self.num_filters, kernel_init=xavier, dtype=self.dtype)(w)
+        # smooth cosine-cutoff envelope (PyG CFConv); computed in f32 and cast
         env = 0.5 * (jnp.cos(dist * math.pi / self.cutoff) + 1.0)
-        w = w * (env * nbr_mask.astype(h.dtype))[..., None]
+        w = w * (env * nbr_mask.astype(jnp.float32))[..., None].astype(self.dtype)
         # cfconv: project, message = x_j ⊙ W_ij, sum over sources j
-        x = nn.Dense(self.num_filters, use_bias=False, kernel_init=xavier)(h)
-        m = jnp.einsum("...ijf,...jf->...if", w, x)
-        x = nn.Dense(self.hidden_channels, kernel_init=xavier)(m)
+        x = nn.Dense(
+            self.num_filters, use_bias=False, kernel_init=xavier, dtype=self.dtype
+        )(h)
+        m = jnp.einsum(
+            "...ijf,...jf->...if", w, x, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier, dtype=self.dtype)(m)
         x = shifted_softplus(x)
-        x = nn.Dense(self.hidden_channels, kernel_init=xavier)(x)
+        x = nn.Dense(self.hidden_channels, kernel_init=xavier, dtype=self.dtype)(x)
         return x
 
 
@@ -71,16 +83,22 @@ class SchNet3D(nn.Module):
     use_covalent: bool = False
     # rematerialise each interaction block in the backward pass: the cfconv's
     # (B·K, N, N, F) filter tensor is the model's dominant activation; without
-    # remat the backward keeps one per block live in HBM, capping batch size
-    remat: bool = True
+    # remat the backward keeps one per block live in HBM, capping batch size.
+    # Costs ~25% step time — enable only when batch memory demands it.
+    remat: bool = False
+    # matmul/activation dtype for the trunk (params and accumulation stay
+    # f32). bfloat16 runs the cfconv filter MLP at full MXU rate on TPU; the
+    # FGW solver is unaffected (its inputs are cast back to f32).
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.embedding = nn.Embed(
             100, self.hidden_channels, embedding_init=nn.initializers.normal(1.0)
         )
         block = nn.remat(InteractionBlock) if self.remat else InteractionBlock
+        cdtype = jnp.dtype(self.compute_dtype)
         self.blocks = [
-            block(self.hidden_channels, self.num_filters, self.cutoff)
+            block(self.hidden_channels, self.num_filters, self.cutoff, cdtype)
             for _ in range(self.num_interactions)
         ]
         if self.use_covalent:
@@ -88,7 +106,7 @@ class SchNet3D(nn.Module):
             # 3-dim bond features as "RBF" input and unit edge weights
             # (schnet_no_sum.py:132-142,166-175)
             self.blocks_cov = [
-                block(self.hidden_channels, self.num_filters, self.cutoff)
+                block(self.hidden_channels, self.num_filters, self.cutoff, cdtype)
                 for _ in range(self.num_interactions)
             ]
         half = self.hidden_channels // 2
