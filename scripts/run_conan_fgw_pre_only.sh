@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Stage-1-only driver (the reference's script/run_conan_fgw_pre_only.sh protocol):
+# run just the conan_fgw_pre (no-barycenter) stage.
+#
+# Usage:
+#   model=schnet ds=esol n_cfm=5 runs=1 ./scripts/run_conan_fgw_pre_only.sh
+set -euo pipefail
+
+model="${model:-schnet}"
+ds="${ds:-esol}"
+n_cfm="${n_cfm:-5}"
+runs="${runs:-1}"
+data_root="${data_root:-.}"
+run_name="${run_name:-${model}_${ds}_${n_cfm}}"
+run_id="${run_id:-$(date +"%Y-%m-%d-%T")}"
+platform_flag=""
+[ -n "${platform:-}" ] && platform_flag="--platform ${platform}"
+
+cfg_dir="$(dirname "$0")/../config/${model}"
+pre_cfg="${cfg_dir}/${ds}_${n_cfm}.yaml"
+[ -f "$pre_cfg" ] || pre_cfg="${cfg_dir}/${ds}_${n_cfm}_bc.yaml"
+
+python -m conan_fgw_tpu.train.runner \
+  --config "$pre_cfg" --stage conan_fgw_pre --data_root "$data_root" \
+  --run_name "$run_name" --run_id "$run_id" --number_of_runs "$runs" \
+  --model_name "$model" $platform_flag
