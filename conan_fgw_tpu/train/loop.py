@@ -179,6 +179,11 @@ def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int
         try:
             out.update(metrics_lib.classification_metrics(pred, y, settings.trade_off))
         except ValueError:  # single-class split
+            log.warning(
+                "eval split contains a single class (%d positives of %d); "
+                "reporting auroc=prc=0.5 — check the split",
+                int((y == 1).sum()), len(y),
+            )
             out.update({"auroc": 0.5, "prc": 0.5})
     return out, pred, y
 

@@ -26,20 +26,32 @@ def lr_find(
     """Returns {"suggestion": lr, "lrs": [...], "losses": [...]}"""
     max_atoms = settings.max_atoms or loop_lib.dataset_max_atoms(records)
     lrs = np.exp(np.linspace(np.log(min_lr), np.log(max_lr), num_steps))
-    batches = loop_lib.batch_iterator(records, settings.batch_size, max_atoms)
-    batch_list = [loop_lib._to_device_batch(b, mesh) for b in batches]
-    state = loop_lib.init_state(model, settings, batch_list[0], settings.seed)
+
+    def batch_stream():
+        """Endless stream over the dataset, one device batch at a time —
+        never materialises the full dataset on device."""
+        while True:
+            for pb in loop_lib.batch_iterator(
+                records, settings.batch_size, max_atoms, prefetch=False
+            ):
+                yield loop_lib._to_device_batch(pb, mesh)
+
+    stream = batch_stream()
+    first = next(stream)
+    state = loop_lib.init_state(model, settings, first, settings.seed)
     train_step, _ = loop_lib.make_step_fns(model, settings)
 
     losses = []
-    for i, lr in enumerate(lrs):
+    batch = first
+    for lr in lrs:
         state = loop_lib.set_learning_rate(state, float(lr))
-        state, loss = train_step(state, batch_list[i % len(batch_list)])
+        state, loss = train_step(state, batch)
         loss = float(loss)
         losses.append(loss)
         if not np.isfinite(loss) or (len(losses) > 5 and loss > 4 * min(losses)):
             lrs = lrs[: len(losses)]
             break
+        batch = next(stream)
 
     # steepest negative slope of the smoothed loss curve
     lo = np.asarray(losses)

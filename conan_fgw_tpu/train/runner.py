@@ -128,6 +128,8 @@ def run_experiment(
     resume: bool = False,
     profile_dir: str | None = None,
     metrics_dir: str | None = None,
+    pre_ckpt_dir: str | None = None,
+    allow_scratch: bool = False,
 ):
     """Train/evaluate ``number_of_runs`` times; returns (summary, per-run list).
 
@@ -157,10 +159,27 @@ def run_experiment(
 
         state = None
         if stage == STAGE_BC:
-            pre_dir = os.path.join(
-                models_dir, run_name, str(run_id), f"run_{STAGE_PRE}:{run_idx}"
-            )
+            # warm-start checkpoint discovery: the reference's
+            # --conan_fgw_pre_ckpt_dir override (train_val.py:175-192) maps to
+            # pre_ckpt_dir here; by default stage 1 of the same run_name/run_id
+            # is used. pre_ckpt_dir may be the base dir holding the per-run
+            # `run_conan_fgw_pre:{i}` subdirs, or one checkpoint dir directly.
+            if pre_ckpt_dir is not None:
+                candidate = os.path.join(pre_ckpt_dir, f"run_{STAGE_PRE}:{run_idx}")
+                pre_dir = candidate if os.path.isdir(candidate) else pre_ckpt_dir
+            else:
+                pre_dir = os.path.join(
+                    models_dir, run_name, str(run_id), f"run_{STAGE_PRE}:{run_idx}"
+                )
             pre_ckpt = RunCheckpointer(pre_dir)
+            if not pre_ckpt.has("best") and not allow_scratch:
+                # the reference hard-fails on a missing stage-1 checkpoint dir
+                # (utils.py:55-63 raises on the glob); silent from-scratch
+                # training is opt-in via allow_scratch
+                raise FileNotFoundError(
+                    f"stage-2 warm start: no stage-1 best checkpoint under {pre_dir} "
+                    "(run conan_fgw_pre first, pass pre_ckpt_dir, or allow_scratch=True)"
+                )
             if pre_ckpt.has("best"):
                 max_atoms = settings.max_atoms or loop_lib.dataset_max_atoms(
                     list(datasets["train"]) + list(datasets["valid"])
@@ -260,6 +279,17 @@ def main(argv=None):
         help="continue an interrupted run from its last epoch checkpoint",
     )
     ap.add_argument(
+        "--pre_ckpt_dir", default=None,
+        help="stage-2 warm-start checkpoint dir override (the reference's "
+        "--conan_fgw_pre_ckpt_dir): base dir holding run_conan_fgw_pre:{i} "
+        "subdirs, or one checkpoint dir used for every run",
+    )
+    ap.add_argument(
+        "--allow_scratch", action="store_true",
+        help="let stage-2 train from scratch when no stage-1 checkpoint exists "
+        "(default: hard error, matching the reference)",
+    )
+    ap.add_argument(
         "--profile_dir", default=None,
         help="capture a jax.profiler device trace of the fit into this directory",
     )
@@ -291,6 +321,8 @@ def main(argv=None):
         resume=args.resume,
         profile_dir=args.profile_dir,
         metrics_dir=args.metrics_dir,
+        pre_ckpt_dir=args.pre_ckpt_dir,
+        allow_scratch=args.allow_scratch,
     )
     if args.out_json:
         with open(args.out_json, "w") as f:

@@ -18,7 +18,12 @@ platform_flag=""
 
 cfg_dir="$(dirname "$0")/../config/${model}"
 pre_cfg="${cfg_dir}/${ds}_${n_cfm}.yaml"
-[ -f "$pre_cfg" ] || pre_cfg="${cfg_dir}/${ds}_${n_cfm}_bc.yaml"
+if [ ! -f "$pre_cfg" ]; then
+  # the bc config carries stage-2 hyperparameters (lr, epochs); flag the reuse
+  echo ">>> NOTE: no dedicated stage-1 config at ${pre_cfg};" \
+       "falling back to ${ds}_${n_cfm}_bc.yaml (stage-2 hyperparameters)"
+  pre_cfg="${cfg_dir}/${ds}_${n_cfm}_bc.yaml"
+fi
 
 python -m conan_fgw_tpu.train.runner \
   --config "$pre_cfg" --stage conan_fgw_pre --data_root "$data_root" \

@@ -71,9 +71,36 @@ class TestTwoStagePipeline:
         datasets = {"train": full[:12], "valid": full[12:16], "test": full[16:]}
         s, _ = run_experiment(
             _config("classification_bc"), stage=STAGE_BC, datasets=datasets,
-            run_name="c", run_id="1", models_dir=str(tmp_path),
+            run_name="c", run_id="1", models_dir=str(tmp_path), allow_scratch=True,
         )
         assert 0.0 <= s["test_auroc"]["mean"] <= 1.0
+
+    def test_stage2_requires_pre_checkpoint(self, tmp_path):
+        """Without allow_scratch, stage 2 hard-fails on a missing stage-1
+        checkpoint (reference utils.py:55-63 semantics)."""
+        import pytest
+
+        datasets = _datasets()
+        with pytest.raises(FileNotFoundError):
+            run_experiment(
+                _config("regression_bc"), stage=STAGE_BC, datasets=datasets,
+                run_name="x", run_id="1", models_dir=str(tmp_path),
+            )
+
+    def test_pre_ckpt_dir_override(self, tmp_path):
+        """pre_ckpt_dir warm-starts stage 2 from an arbitrary stage-1 run
+        (the reference's --conan_fgw_pre_ckpt_dir)."""
+        datasets = _datasets()
+        run_experiment(
+            _config("regression"), stage=STAGE_PRE, datasets=datasets,
+            run_name="other", run_id="7", models_dir=str(tmp_path),
+        )
+        s2, _ = run_experiment(
+            _config("regression_bc"), stage=STAGE_BC, datasets=datasets,
+            run_name="t2", run_id="1", models_dir=str(tmp_path),
+            pre_ckpt_dir=str(tmp_path / "other" / "7"),
+        )
+        assert np.isfinite(s2["test_rmse"]["mean"])
 
 
 class TestConfigCompat:
