@@ -54,6 +54,7 @@ class ConformerDataset:
         store_conformers: int | None = None,
         prune_conformers: bool = False,
         resample: bool = True,
+        cache_stores: bool = True,
     ):
         self.mode = mode
         self.num_conformers = num_conformers
@@ -66,6 +67,11 @@ class ConformerDataset:
         self.prune_conformers = prune_conformers
         self.resample = resample
         self._feature_cache: dict[str, tuple] = {}
+        # full conformer stores cached in RAM: per-epoch records() refreshes
+        # (K-subset resampling) then cost one np indexing per molecule, not a
+        # disk read. Disable for GEOM-Drugs-scale stores.
+        self.cache_stores = cache_stores
+        self._store_cache: dict[str, np.ndarray] = {}
         os.makedirs(self.conformers_dir, exist_ok=True)
 
     def __len__(self):
@@ -78,6 +84,8 @@ class ConformerDataset:
         return self._feature_cache[smiles]
 
     def _positions(self, row) -> np.ndarray:
+        if self.cache_stores and row["mol_id"] in self._store_cache:
+            return self._store_cache[row["mol_id"]]
         path = conf_lib.store_path(self.conformers_dir, row["mol_id"])
         if not os.path.exists(path):
             if not self.generate_missing:
@@ -85,7 +93,10 @@ class ConformerDataset:
             conf_lib._generate_one(
                 row["smiles"], path, self.store_conformers, self.prune_conformers, seed=1
             )
-        return conf_lib.load_store(self.conformers_dir, row["mol_id"])
+        positions = conf_lib.load_store(self.conformers_dir, row["mol_id"])
+        if self.cache_stores:
+            self._store_cache[row["mol_id"]] = positions
+        return positions
 
     def __getitem__(self, idx: int) -> MoleculeRecord:
         row = self.rows[idx]

@@ -117,3 +117,12 @@ def prefetched_batches(records, batch_size, max_atoms, *, shuffle=False, rng=Non
     return Prefetcher(
         batches(records, batch_size, max_atoms, shuffle=shuffle, rng=rng), depth=depth
     )
+
+
+def prefetched_bucketed_batches(
+    records, batch_size, *, buckets=None, shuffle=False, rng=None, depth=2
+):
+    return Prefetcher(
+        bucketed_batches(records, batch_size, buckets=buckets, shuffle=shuffle, rng=rng),
+        depth=depth,
+    )

@@ -34,6 +34,15 @@ def _allgather(x):
     return multihost_utils.process_allgather(x, tiled=True)
 
 
+def host_concat(x: np.ndarray) -> np.ndarray:
+    """Concatenate each host's numpy rows in process order (no-op on one)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x), tiled=True))
+
+
 def all_hosts_mean(value: float) -> float:
     """Mean of a python scalar across hosts (no-op single-process)."""
     if jax.process_count() == 1:

@@ -50,6 +50,11 @@ class TrainSettings:
     seed: int = 5
     shuffle: bool = False  # reference DataLoaders do not shuffle
     max_atoms: int | None = None
+    # atom-count-bucketed batching (SURVEY §7): group molecules by padded
+    # size so each compiled step wastes minimal N²-padding work. At most
+    # len(buckets) shapes reach XLA. Changes batch composition vs the
+    # reference's sequential order (metrics are order-invariant).
+    bucketed: bool = True
     # micro-batch accumulation (the reference defines but never registers its
     # GradientAccumulationScheduler; off by default for parity)
     accumulate_steps: int = 1
@@ -76,14 +81,31 @@ def batch_iterator(
     shuffle: bool = False,
     rng: np.random.Generator | None = None,
     prefetch: bool = True,
+    bucketed: bool = False,
 ) -> Iterable[PackedBatch]:
     from conan_fgw_tpu.data import loader as loader_lib
 
+    if bucketed:
+        buckets = bucket_boundaries(max_atoms)
+        if prefetch:
+            return loader_lib.prefetched_bucketed_batches(
+                records, batch_size, buckets=buckets, shuffle=shuffle, rng=rng
+            )
+        return loader_lib.bucketed_batches(
+            records, batch_size, buckets=buckets, shuffle=shuffle, rng=rng
+        )
     if prefetch:
         return loader_lib.prefetched_batches(
             records, batch_size, max_atoms, shuffle=shuffle, rng=rng
         )
     return loader_lib.batches(records, batch_size, max_atoms, shuffle=shuffle, rng=rng)
+
+
+def bucket_boundaries(max_atoms: int) -> tuple:
+    """Bucket ladder capped at ``max_atoms`` (itself always a boundary)."""
+    from conan_fgw_tpu.data.packing import DEFAULT_BUCKETS
+
+    return tuple(b for b in DEFAULT_BUCKETS if b < max_atoms) + (max_atoms,)
 
 
 def dataset_max_atoms(records: Sequence[MoleculeRecord]) -> int:
@@ -160,17 +182,38 @@ def init_state(model, settings: TrainSettings, sample_batch: PackedBatch, rng_se
 
 
 def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int, mesh=None):
-    """Full-split predictions + loss (the reference's global-gather metric path)."""
-    preds, ys, losses = [], [], []
-    for pb in batch_iterator(records, settings.batch_size, max_atoms):
-        valid = pb.mol_mask.copy()
+    """Full-split predictions + loss (the reference's global-gather metric path).
+
+    Device arrays are collected asynchronously and fetched once at the end —
+    one host↔device sync per split instead of one per batch.
+    """
+    multihost = jax.process_count() > 1
+    device_out, valids, ys = [], [], []
+    for pb in batch_iterator(
+        records, settings.batch_size, max_atoms, bucketed=settings.bucketed
+    ):
+        valids.append(pb.mol_mask.copy())
+        ys.append(pb.y.copy())
         batch = _to_device_batch(pb, mesh)
-        loss, pred = eval_step(params, batch)
-        preds.append(np.asarray(pred).reshape(-1)[valid])
-        ys.append(pb.y[valid])
-        losses.append(float(loss))
+        device_out.append(eval_step(params, batch))
+    if multihost:
+        # predictions are global jax Arrays spanning all hosts; bring them —
+        # and each host's local mask/label rows — to every host
+        # (the reference's DDP all_gather, common.py:307-333, generalised)
+        from conan_fgw_tpu.parallel import collectives
+
+        fetched = [
+            (collectives.gather_to_host(l), collectives.gather_to_host(p))
+            for l, p in device_out
+        ]
+        valids = [collectives.host_concat(v) for v in valids]
+        ys = [collectives.host_concat(y) for y in ys]
+    else:
+        fetched = jax.device_get(device_out)
+    preds = [np.asarray(p).reshape(-1)[v] for (_, p), v in zip(fetched, valids)]
+    losses = [float(np.mean(l)) for l, _ in fetched]
     pred = np.concatenate(preds)
-    y = np.concatenate(ys)
+    y = np.concatenate([yy[v] for yy, v in zip(ys, valids)])
     out = {"loss": float(np.mean(losses))}
     if settings.task == "regression":
         out["mse"] = metrics_lib.mse(pred, y)
@@ -199,7 +242,7 @@ class FitResult:
 def fit(
     model,
     settings: TrainSettings,
-    train_records: Sequence[MoleculeRecord],
+    train_records: Sequence[MoleculeRecord] | Callable[[], Sequence[MoleculeRecord]],
     val_records: Sequence[MoleculeRecord],
     *,
     state: TrainState | None = None,
@@ -210,12 +253,24 @@ def fit(
 ) -> FitResult:
     """Epoch loop with plateau LR, early stopping, and best-checkpoint tracking.
 
+    ``train_records`` may be a callable returning a fresh record list: it is
+    invoked once per epoch, so datasets whose conformer stores hold more than
+    K conformers re-draw the K-subset every epoch — the reference's
+    per-``__getitem__`` resampling semantics (``datasets.py:150-168``).
+
     ``resume=True`` restarts an interrupted run from the checkpointer's last
     epoch boundary (optimiser + schedule state included) — the rebuild's
     fault-tolerance story (SURVEY §5: driver restarts + checkpoint resume).
     """
-    max_atoms = settings.max_atoms or dataset_max_atoms(list(train_records) + list(val_records))
-    first = next(iter(batch_iterator(train_records, settings.batch_size, max_atoms)))
+    epoch_records = train_records() if callable(train_records) else train_records
+    max_atoms = settings.max_atoms or dataset_max_atoms(list(epoch_records) + list(val_records))
+    first = next(
+        iter(
+            batch_iterator(
+                epoch_records, settings.batch_size, max_atoms, bucketed=settings.bucketed
+            )
+        )
+    )
     if state is None:
         state = init_state(model, settings, _to_device_batch(first, mesh), settings.seed)
     train_step, eval_step = make_step_fns(model, settings)
@@ -228,7 +283,6 @@ def fit(
     best = -np.inf if mode_max else np.inf
     best_epoch = -1
     history = []
-    rng = np.random.default_rng(settings.seed)
     start_epoch = 0
 
     if resume and checkpointer is not None and checkpointer.has("last_state"):
@@ -244,18 +298,19 @@ def fit(
         best_epoch = loop_meta.get("best_epoch", best_epoch)
         history = loop_meta.get("history", [])
         state = set_learning_rate(state, plateau.lr)
-        # replay the data-order rng to the epoch boundary
-        for _ in range(start_epoch):
-            if settings.shuffle:
-                rng.permutation(len(train_records))
         log.info("resumed from epoch %d (lr=%.2e)", start_epoch, plateau.lr)
 
     for epoch in range(start_epoch, settings.num_epochs):
         t0 = time.time()
+        if epoch > start_epoch and callable(train_records):
+            epoch_records = train_records()  # fresh K-subset of conformers
         train_losses = []
+        # data order keyed on (seed, epoch): resume reproduces the order of
+        # any epoch without replaying the rng stream
+        epoch_rng = np.random.default_rng([settings.seed, epoch])
         for pb in batch_iterator(
-            train_records, settings.batch_size, max_atoms,
-            shuffle=settings.shuffle, rng=rng,
+            epoch_records, settings.batch_size, max_atoms,
+            shuffle=settings.shuffle, rng=epoch_rng, bucketed=settings.bucketed,
         ):
             batch = _to_device_batch(pb, mesh)
             state, loss = train_step(state, batch)

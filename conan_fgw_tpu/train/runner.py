@@ -136,12 +136,46 @@ def run_experiment(
     ``datasets`` may inject pre-built record lists (tests/benchmarks);
     otherwise they are loaded from ``data_dir`` per the reference layout.
     """
+    train_provider = None  # per-epoch record refresh (conformer resampling)
     if datasets is None:
         if records_provider is not None:
             datasets = {m: records_provider(m) for m in ("train", "valid", "test")}
         else:
             ds = load_datasets(config, data_dir)
             datasets = {m: ds[m].records() for m in ("train", "valid", "test")}
+            # stores holding more than K conformers re-draw the K-subset every
+            # epoch, matching the reference's per-__getitem__ resampling
+            # (conan_fgw/src/data/datasets.py:150-168)
+            train_provider = ds["train"].records
+
+    import jax
+
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if config.batch_size % n_dev:
+            new_bs = ((config.batch_size + n_dev - 1) // n_dev) * n_dev
+            log.info(
+                "batch_size %d not divisible by %d devices; padding to %d "
+                "(extra rows are mol_mask-padded)", config.batch_size, n_dev, new_bs,
+            )
+            config = dataclasses.replace(config, batch_size=new_bs)
+        if jax.process_count() > 1:
+            # per-host contiguous shard of every split — the
+            # DistributedSampler(shuffle=False) analog; the global batch is
+            # reassembled on device by make_array_from_process_local_data
+            from conan_fgw_tpu.data.loader import shard_range
+
+            pc, pi = jax.process_count(), jax.process_index()
+            datasets = {
+                m: [recs[i] for i in shard_range(len(recs), pi, pc)]
+                for m, recs in datasets.items()
+            }
+            if train_provider is not None:
+                base = train_provider
+
+                def train_provider():
+                    recs = base()
+                    return [recs[i] for i in shard_range(len(recs), pi, pc)]
 
     loss_scale = None
     if config.spec.task == "classification":
@@ -213,12 +247,14 @@ def run_experiment(
 
             with device_trace(os.path.join(profile_dir, f"run{run_idx}")):
                 result = loop_lib.fit(
-                    model, settings, datasets["train"], datasets["valid"],
+                    model, settings, train_provider or datasets["train"],
+                    datasets["valid"],
                     state=state, mesh=mesh, checkpointer=ckpt, resume=resume,
                 )
         else:
             result = loop_lib.fit(
-                model, settings, datasets["train"], datasets["valid"],
+                model, settings, train_provider or datasets["train"],
+                datasets["valid"],
                 state=state, mesh=mesh, checkpointer=ckpt, resume=resume,
             )
 
@@ -298,12 +334,34 @@ def main(argv=None):
         default=None,
         help="force a JAX platform (e.g. cpu); needed where a site hook pins TPU",
     )
+    ap.add_argument(
+        "--num_devices", type=int, default=0,
+        help="data-parallel device count: 0 = all local devices (the "
+        "reference's stage-2 multi-GPU DDP analog), 1 = single device",
+    )
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: call jax.distributed.initialize() before building "
+        "the mesh (coordinator from the standard JAX env vars)",
+    )
     args = ap.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from conan_fgw_tpu.parallel import mesh as mesh_lib
+
+    if args.distributed:
+        mesh_lib.initialize_distributed()
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = mesh_lib.create_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        log.info(
+            "data-parallel mesh: %d devices, %d process(es)",
+            mesh.devices.size, jax.process_count(),
+        )
 
     overrides = {"model_name": args.model_name} if args.model_name else {}
     config = load_config(args.config, **overrides)
@@ -313,6 +371,7 @@ def main(argv=None):
     summary, _ = run_experiment(
         config,
         stage=args.stage,
+        mesh=mesh,
         data_dir=os.path.join(args.data_root, "data"),
         number_of_runs=args.number_of_runs,
         run_name=args.run_name,

@@ -34,6 +34,40 @@ class TestFit:
         losses = [h["train_loss"] for h in result.history]
         assert losses[-1] < losses[0] * 0.9, losses
 
+    def test_bucketed_fit(self):
+        """Atom-count-bucketed batching: molecules spanning two buckets train
+        with finite losses and per-bucket shapes (VERDICT #3 wiring)."""
+        small = random_dataset(3, 8, num_conformers=2, heavy_range=(4, 6))
+        big = random_dataset(4, 8, num_conformers=2, heavy_range=(22, 28))
+        recs = small + big
+        assert {loop_lib.bucket_for(r.num_atoms) for r in recs} == {32, 64}
+        model = ConanModel(**SMALL)
+        settings = _settings(num_epochs=2, max_atoms=None, bucketed=True,
+                             use_barycenter=True, batch_size=6)
+        result = loop_lib.fit(model, settings, recs, recs[:4])
+        assert all(np.isfinite(h["train_loss"]) for h in result.history)
+        # the iterator really emits both bucket widths
+        widths = {
+            pb.max_atoms
+            for pb in loop_lib.batch_iterator(recs, 6, 64, bucketed=True, prefetch=False)
+        }
+        assert widths == {32, 64}
+
+    def test_per_epoch_provider(self):
+        """A callable train_records is re-invoked each epoch (conformer
+        resampling semantics, reference datasets.py:150-168)."""
+        calls = []
+
+        def provider():
+            calls.append(1)
+            return random_dataset(5, 8, num_conformers=2, heavy_range=(4, 6))
+
+        model = ConanModel(**SMALL)
+        result = loop_lib.fit(model, _settings(num_epochs=3), provider,
+                              provider()[:4])
+        assert len(calls) == 3 + 1  # one per epoch + the val snapshot above
+        assert all(np.isfinite(h["train_loss"]) for h in result.history)
+
     def test_partial_last_batch(self):
         """Dataset size not divisible by batch_size exercises mol_mask padding."""
         recs = random_dataset(1, 11, num_conformers=2, heavy_range=(4, 6))
