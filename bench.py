@@ -25,7 +25,8 @@ import time
 
 import numpy as np
 
-B, K, N_ATOMS = 24, 5, 64
+B, K, N_ATOMS = 24, 5, 32
+N_ATOMS_UNBUCKETED = 64  # the pre-bucketing dataset-max padding width
 HEAVY_RANGE = (8, 13)  # ~ESOL-sized molecules once hydrogens are added
 STEPS = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
@@ -37,7 +38,10 @@ def _records():
     return random_dataset(42, B, num_conformers=K, heavy_range=HEAVY_RANGE)
 
 
-def _measure(batch_size: int, compute_dtype: str = "float32") -> dict:
+def _measure(
+    batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
+    use_pallas: bool = False,
+) -> dict:
     """Honest per-step time via the slope method.
 
     On this tunneled TPU platform ``jax.block_until_ready`` returns before
@@ -60,10 +64,13 @@ def _measure(batch_size: int, compute_dtype: str = "float32") -> dict:
     from conan_fgw_tpu.train import loop as loop_lib
 
     recs = random_dataset(42, batch_size, num_conformers=K, heavy_range=HEAVY_RANGE)
-    pb = pack(recs, max_atoms=N_ATOMS, batch_size=batch_size)
+    pb = pack(recs, max_atoms=n_atoms, batch_size=batch_size)
     batch = PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
 
-    model = ConanModel(compute_dtype=compute_dtype)  # reference regression config
+    # reference regression config; the production fit() path buckets batches
+    # by atom count, so the headline shape is the N=32 bucket these molecules
+    # actually land in (not the dataset-max width)
+    model = ConanModel(compute_dtype=compute_dtype, use_pallas_cfconv=use_pallas)
     settings = loop_lib.TrainSettings(use_barycenter=True, batch_size=batch_size)
     state = loop_lib.init_state(model, settings, batch)
     train_step, _ = loop_lib.make_step_fns(model, settings)
@@ -97,7 +104,10 @@ def _measure(batch_size: int, compute_dtype: str = "float32") -> dict:
     }
 
 
-def _measure_subprocess(batch_size: int, compute_dtype: str = "float32") -> dict:
+def _measure_subprocess(
+    batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
+    use_pallas: bool = False,
+) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
     import subprocess
@@ -105,14 +115,23 @@ def _measure_subprocess(batch_size: int, compute_dtype: str = "float32") -> dict
 
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
-         compute_dtype],
-        capture_output=True, text=True, check=True,
+         compute_dtype, str(n_atoms), str(int(use_pallas))],
+        capture_output=True, text=True, check=True, timeout=1200,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
 def measure_tpu_step() -> dict:
     out = _measure_subprocess(B)
+    # the same molecules padded to the pre-bucketing dataset-max width: the
+    # production fit() path avoids this padding waste via atom-count buckets
+    wide = _measure_subprocess(B, "float32", N_ATOMS_UNBUCKETED)
+    out["unbucketed_n64"] = {
+        "max_atoms": N_ATOMS_UNBUCKETED,
+        "step_s": round(wide["step_s"], 5),
+        "graphs_per_s": round(wide["graphs_per_s"], 1),
+        "bucketing_speedup": round(out["graphs_per_s"] / wide["graphs_per_s"], 2),
+    }
     # trunk in bfloat16 (params/FGW stay f32): the supported mixed-precision
     # mode, ~0.6% output deviation, full MXU rate on the cfconv filter MLP
     bf16 = _measure_subprocess(B, "bfloat16")
@@ -128,6 +147,19 @@ def measure_tpu_step() -> dict:
         "step_s": round(big["step_s"], 5),
         "graphs_per_s": round(big["graphs_per_s"], 1),
     }
+    # fused Pallas cfconv (ops/pallas/cfconv.py): measured when the Mosaic
+    # backend is reachable; some tunneled environments proxy compilation
+    # through a service without Mosaic support — record the failure instead
+    # of crashing the bench.
+    try:
+        pallas = _measure_subprocess(B, "float32", N_ATOMS, use_pallas=True)
+        out["pallas_cfconv"] = {
+            "step_s": round(pallas["step_s"], 5),
+            "graphs_per_s": round(pallas["graphs_per_s"], 1),
+            "vs_xla": round(pallas["graphs_per_s"] / out["graphs_per_s"], 3),
+        }
+    except Exception as e:  # noqa: BLE001
+        out["pallas_cfconv"] = {"unavailable": str(e)[:200]}
     return out
 
 
@@ -167,8 +199,10 @@ def main():
                     "baseline_graphs_per_s": round(base_gps, 2) if base_gps else None,
                     "batch": B, "conformers": K, "max_atoms": N_ATOMS,
                     "device": tpu["device"],
+                    "unbucketed_n64": tpu.get("unbucketed_n64"),
                     "mixed_precision": tpu.get("mixed_precision"),
                     "large_batch": tpu.get("large_batch"),
+                    "pallas_cfconv": tpu.get("pallas_cfconv"),
                 },
             }
         )
@@ -180,6 +214,8 @@ if __name__ == "__main__":
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
         dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
-        print(json.dumps(_measure(int(sys.argv[2]), dtype)))
+        n_atoms = int(sys.argv[4]) if len(sys.argv) > 4 else N_ATOMS
+        use_pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+        print(json.dumps(_measure(int(sys.argv[2]), dtype, n_atoms, use_pallas)))
     else:
         main()

@@ -92,6 +92,8 @@ class ConanModel(nn.Module):
     # trunk matmul dtype: "bfloat16" runs the SchNet cfconv at full MXU rate
     # (params, fusion heads, and the FGW solver stay f32)
     compute_dtype: str = "float32"
+    # fused Pallas cfconv (SchNet backbone only; see ops/pallas/cfconv.py)
+    use_pallas_cfconv: bool = False
 
     def setup(self):
         half = self.hidden_channels // 2
@@ -104,6 +106,7 @@ class ConanModel(nn.Module):
                 cutoff=self.cutoff,
                 max_neighbors=self.max_neighbors,
                 compute_dtype=self.compute_dtype,
+                use_pallas_cfconv=self.use_pallas_cfconv,
             )
         elif self.backbone_name == "visnet":
             from conan_fgw_tpu.models.visnet import ViSNet3D

@@ -33,31 +33,66 @@ class InteractionBlock(nn.Module):
     ``dtype`` is the compute dtype: parameters stay f32 (flax casts them per
     matmul), the MXU accumulates in f32, and only the stored activations are
     low-precision — standard TPU mixed precision.
+
+    The filter-net parameters are declared raw (not as ``nn.Dense``) so the
+    same weights drive both formulations of the cfconv:
+
+    * XLA (default): RBF → filter MLP → cosine envelope → masked einsum.
+    * Pallas (``use_pallas=True`` and ``pos``/``atom_mask`` given): one fused
+      VMEM kernel per conformer graph recomputing distances/mask/RBF on-chip,
+      so the ``(G, N, N, F)`` filter tensor never touches HBM
+      (``conan_fgw_tpu.ops.pallas.cfconv``). f32 only; exact same math.
     """
 
     hidden_channels: int
     num_filters: int
     cutoff: float
     dtype: jnp.dtype = jnp.float32
+    num_gaussians: int = 50
+    max_neighbors: Optional[int] = 32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, rbf, dist, nbr_mask):
+    def __call__(self, h, rbf, dist, nbr_mask, pos=None, atom_mask=None):
         h = h.astype(self.dtype)
-        rbf = rbf.astype(self.dtype)
-        # filter network on the RBF-expanded distances
-        w = nn.Dense(self.num_filters, kernel_init=xavier, dtype=self.dtype)(rbf)
-        w = shifted_softplus(w)
-        w = nn.Dense(self.num_filters, kernel_init=xavier, dtype=self.dtype)(w)
-        # smooth cosine-cutoff envelope (PyG CFConv); computed in f32 and cast
-        env = 0.5 * (jnp.cos(dist * math.pi / self.cutoff) + 1.0)
-        w = w * (env * nbr_mask.astype(jnp.float32))[..., None].astype(self.dtype)
+        # filter network on the RBF-expanded distances (raw params shared by
+        # the XLA and Pallas paths)
+        w1 = self.param("filter_w1", xavier, (rbf.shape[-1], self.num_filters))
+        b1 = self.param("filter_b1", nn.initializers.zeros, (self.num_filters,))
+        w2 = self.param("filter_w2", xavier, (self.num_filters, self.num_filters))
+        b2 = self.param("filter_b2", nn.initializers.zeros, (self.num_filters,))
         # cfconv: project, message = x_j ⊙ W_ij, sum over sources j
         x = nn.Dense(
             self.num_filters, use_bias=False, kernel_init=xavier, dtype=self.dtype
         )(h)
-        m = jnp.einsum(
-            "...ijf,...jf->...if", w, x, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        fused = (
+            self.use_pallas
+            and pos is not None
+            and atom_mask is not None
+            and not self.is_initializing()
+        )
+        if fused:
+            from conan_fgw_tpu.ops.pallas.cfconv import fused_cfconv
+
+            lead, (n, f) = x.shape[:-2], x.shape[-2:]
+            m = fused_cfconv(
+                pos.reshape(-1, n, 3).astype(jnp.float32),
+                atom_mask.reshape(-1, n).astype(jnp.float32),
+                x.reshape(-1, n, f).astype(jnp.float32),
+                w1, b1, w2, b2,
+                self.cutoff, self.num_gaussians, self.max_neighbors or n,
+            ).reshape(*lead, n, f).astype(self.dtype)
+        else:
+            w = shifted_softplus(
+                rbf.astype(self.dtype) @ w1.astype(self.dtype) + b1.astype(self.dtype)
+            )
+            w = w @ w2.astype(self.dtype) + b2.astype(self.dtype)
+            # smooth cosine-cutoff envelope (PyG CFConv); computed in f32, cast
+            env = 0.5 * (jnp.cos(dist * math.pi / self.cutoff) + 1.0)
+            w = w * (env * nbr_mask.astype(jnp.float32))[..., None].astype(self.dtype)
+            m = jnp.einsum(
+                "...ijf,...jf->...if", w, x, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
         x = nn.Dense(self.hidden_channels, kernel_init=xavier, dtype=self.dtype)(m)
         x = shifted_softplus(x)
         x = nn.Dense(self.hidden_channels, kernel_init=xavier, dtype=self.dtype)(x)
@@ -90,6 +125,9 @@ class SchNet3D(nn.Module):
     # f32). bfloat16 runs the cfconv filter MLP at full MXU rate on TPU; the
     # FGW solver is unaffected (its inputs are cast back to f32).
     compute_dtype: str = "float32"
+    # route the radius-graph cfconv through the fused Pallas kernel (f32,
+    # "index" neighbor-cap only; covalent blocks always use the XLA path)
+    use_pallas_cfconv: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(
@@ -97,8 +135,16 @@ class SchNet3D(nn.Module):
         )
         block = nn.remat(InteractionBlock) if self.remat else InteractionBlock
         cdtype = jnp.dtype(self.compute_dtype)
+        use_pallas = (
+            self.use_pallas_cfconv
+            and self.neighbor_cap_mode == "index"
+            and cdtype == jnp.float32
+        )
         self.blocks = [
-            block(self.hidden_channels, self.num_filters, self.cutoff, cdtype)
+            block(
+                self.hidden_channels, self.num_filters, self.cutoff, cdtype,
+                self.num_gaussians, self.max_neighbors, use_pallas,
+            )
             for _ in range(self.num_interactions)
         ]
         if self.use_covalent:
@@ -129,7 +175,7 @@ class SchNet3D(nn.Module):
         h = self.embedding(z)
         h = h * mask[..., None].astype(h.dtype)
         for blk in self.blocks:
-            h = h + blk(h, rbf, dist, nbr)
+            h = h + blk(h, rbf, dist, nbr, pos, mask)
         if self.use_covalent:
             if bond_adj is None:
                 raise ValueError("use_covalent=True requires bond_adj/bond_attr")

@@ -21,27 +21,43 @@ import numpy as np
 
 
 def _save_pytree(path: str, tree: Any) -> None:
-    """Flat .npz + structure JSON — dependency-light and fork-safe."""
-    leaves, treedef = jax.tree.flatten(tree)
+    """Path-keyed .npz + structure JSON — dependency-light and fork-safe.
+
+    Leaves are stored under their pytree key-path (e.g.
+    ``['params']['backbone']['blocks_0']['filter_w1']``), so a restore matches
+    by *name*, tolerating leaf-order changes as the model evolves.
+    """
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tree)
     np.savez(
-        path + ".npz", **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        path + ".npz",
+        **{jax.tree_util.keystr(kp): np.asarray(x) for kp, x in leaves_with_path},
     )
     with open(path + ".tree.json", "w") as f:
-        json.dump({"structure": str(treedef), "num_leaves": len(leaves)}, f)
+        json.dump({"structure": str(treedef), "num_leaves": len(leaves_with_path)}, f)
 
 
 def _restore_pytree(path: str, template: Any) -> Any:
     data = np.load(path + ".npz")
-    leaves_t, treedef = jax.tree.flatten(template)
-    leaves = [data[f"leaf_{i}"] for i in range(len(leaves_t))]
-    if len(leaves) != len(leaves_t):
-        raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, template expects {len(leaves_t)}"
-        )
-    for i, (got, want) in enumerate(zip(leaves, leaves_t)):
+    leaves_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    if data.files and data.files[0].startswith("leaf_"):
+        # legacy order-keyed format (pre path-keyed checkpoints)
+        leaves = [data[f"leaf_{i}"] for i in range(len(leaves_t))]
+    else:
+        missing = [jax.tree_util.keystr(kp) for kp, _ in leaves_t
+                   if jax.tree_util.keystr(kp) not in data]
+        if missing:
+            raise ValueError(
+                f"checkpoint at {path} is missing {len(missing)} leaves, e.g. "
+                f"{missing[:3]} (stage/architecture mismatch?)"
+            )
+        leaves = [data[jax.tree_util.keystr(kp)] for kp, _ in leaves_t]
+    for (kp, want), got in zip(leaves_t, leaves):
         if hasattr(want, "shape") and tuple(got.shape) != tuple(np.shape(want)):
-            raise ValueError(f"leaf {i}: shape {got.shape} != template {np.shape(want)}")
-    return jax.tree.unflatten(treedef, leaves)
+            raise ValueError(
+                f"leaf {jax.tree_util.keystr(kp)}: shape {got.shape} != "
+                f"template {np.shape(want)}"
+            )
+    return jax.tree.unflatten(treedef, [x for x in leaves])
 
 
 def merge_params(target: Any, source: Any) -> Any:

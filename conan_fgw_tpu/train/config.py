@@ -84,6 +84,7 @@ class ExperimentConfig:
     max_atoms: Optional[int] = None
     bary_pad_mode: str = "reference"
     neighbor_cap_mode: str = "index"
+    use_pallas_cfconv: bool = False
 
     @property
     def spec(self) -> ExperimentSpec:

@@ -45,6 +45,7 @@ def build_model(config: ExperimentConfig, stage: str) -> ConanModel:
         # epsilon=0.1 regardless of the YAML (schnet_no_sum.py:294-300)
         fgw=FGWConfig(),
         bary_pad_mode=config.bary_pad_mode,
+        use_pallas_cfconv=config.use_pallas_cfconv,
     )
     if config.model_name == "visnet":
         # wrapper defaults: cutoff 5.0; bary branch shifts +1.0 and L2-column

@@ -54,3 +54,38 @@ def test_neighbor_cap():
     ref = _cfconv_xla(pos, mask, x, w1, b1, w2, b2, cutoff=10.0, num_gaussians=10,
                       max_neighbors=8)
     np.testing.assert_allclose(np.asarray(capped), np.asarray(ref), atol=1e-4)
+
+
+def test_model_wiring_matches_xla_path():
+    """ConanModel(use_pallas_cfconv=True) is numerically identical to the XLA
+    model with the same parameter tree (interpret mode on CPU)."""
+    import dataclasses
+
+    from conan_fgw_tpu.data.loader import pack
+    from conan_fgw_tpu.data.packing import PackedBatch
+    from conan_fgw_tpu.data.synthetic import random_dataset
+    from conan_fgw_tpu.models.heads import ConanModel
+
+    recs = random_dataset(7, 4, num_conformers=2, heavy_range=(4, 7))
+    pb = pack(recs, max_atoms=32, batch_size=4)
+    batch = PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
+
+    xla_model = ConanModel(num_gaussians=10)
+    pallas_model = ConanModel(num_gaussians=10, use_pallas_cfconv=True)
+    params = xla_model.init(jax.random.PRNGKey(0), batch, use_barycenter=True)
+    out_xla = xla_model.apply(params, batch, use_barycenter=True)
+    out_pallas = pallas_model.apply(params, batch, use_barycenter=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), atol=1e-4, rtol=1e-4
+    )
+
+    # gradients flow through the custom_vjp recompute path
+    def loss(p, model):
+        return jnp.sum(model.apply(p, batch, use_barycenter=True) ** 2)
+
+    g1 = jax.grad(loss)(params, pallas_model)
+    g2 = jax.grad(loss)(params, xla_model)
+    flat1 = jax.tree.leaves(g1)
+    flat2 = jax.tree.leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
