@@ -6,9 +6,10 @@ Prints ONE JSON line:
 
 The workload is the reference's headline regression configuration (ESOL,
 SchNet hidden=128, K=5 conformers, batch 24 — ``esol_5_bc.yaml``) on
-synthetic molecules padded to the N=64 atom bucket: one full jitted train
-step (forward incl. batched FGW barycenters, backward, global-norm clip,
-Adam update).
+synthetic molecules in the N=32 atom bucket that the production bucketed
+``fit()`` path assigns them to: one full jitted train step (forward incl.
+batched FGW barycenters, backward, global-norm clip, Adam update). The
+pre-bucketing N=64 shape is reported alongside for comparison.
 
 ``vs_baseline`` compares conformer-graphs/sec against a reference-style CPU
 implementation (ragged gather/scatter torch with the per-molecule Python FGW
@@ -40,7 +41,7 @@ def _records():
 
 def _measure(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
-    use_pallas: bool = False,
+    use_pallas: bool = False, backbone: str = "schnet",
 ) -> dict:
     """Honest per-step time via the slope method.
 
@@ -63,20 +64,30 @@ def _measure(
     from conan_fgw_tpu.models.heads import ConanModel
     from conan_fgw_tpu.train import loop as loop_lib
 
-    recs = random_dataset(42, batch_size, num_conformers=K, heavy_range=HEAVY_RANGE)
+    # molecules sized for the requested bucket (DimeNet row: N=96 molecules)
+    heavy = (36, 42) if n_atoms >= 96 else HEAVY_RANGE
+    recs = random_dataset(42, batch_size, num_conformers=K, heavy_range=heavy)
     pb = pack(recs, max_atoms=n_atoms, batch_size=batch_size)
     batch = PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
 
     # reference regression config; the production fit() path buckets batches
     # by atom count, so the headline shape is the N=32 bucket these molecules
     # actually land in (not the dataset-max width)
-    model = ConanModel(compute_dtype=compute_dtype, use_pallas_cfconv=use_pallas)
+    if backbone == "dimenet":
+        from conan_fgw_tpu.ops.fgw import FGWConfig
+
+        model = ConanModel(
+            backbone_name="dimenet", cutoff=5.0, bary_shift=0.5,
+            fgw=FGWConfig(alpha=0.5, fixed_structure=True),
+        )
+    else:
+        model = ConanModel(compute_dtype=compute_dtype, use_pallas_cfconv=use_pallas)
     settings = loop_lib.TrainSettings(use_barycenter=True, batch_size=batch_size)
     state = loop_lib.init_state(model, settings, batch)
     train_step, _ = loop_lib.make_step_fns(model, settings)
 
     t_compile0 = time.perf_counter()
-    state, loss = train_step(state, batch)
+    state, loss, _ = train_step(state, batch)
     last = float(loss)  # completion barrier
     compile_s = time.perf_counter() - t_compile0
 
@@ -84,7 +95,7 @@ def _measure(
         nonlocal state, last
         t0 = time.perf_counter()
         for _ in range(n):
-            state, loss = train_step(state, batch)
+            state, loss, _ = train_step(state, batch)
         last = float(loss)
         return time.perf_counter() - t0
 
@@ -106,7 +117,7 @@ def _measure(
 
 def _measure_subprocess(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
-    use_pallas: bool = False,
+    use_pallas: bool = False, backbone: str = "schnet",
 ) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
@@ -115,8 +126,8 @@ def _measure_subprocess(
 
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
-         compute_dtype, str(n_atoms), str(int(use_pallas))],
-        capture_output=True, text=True, check=True, timeout=1200,
+         compute_dtype, str(n_atoms), str(int(use_pallas)), backbone],
+        capture_output=True, text=True, check=True, timeout=1800,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
 
@@ -147,6 +158,18 @@ def measure_tpu_step() -> dict:
         "step_s": round(big["step_s"], 5),
         "graphs_per_s": round(big["graphs_per_s"], 1),
     }
+    # DimeNet at N=96: the neighbor-slot triplet layout (N·M² activations)
+    # is what makes this fit in HBM at all — the dense N³ formulation costs
+    # ~9x more (models/dimenet.py)
+    try:
+        dn = _measure_subprocess(8, "float32", 96, backbone="dimenet")
+        out["dimenet_n96"] = {
+            "batch": 8, "max_atoms": 96,
+            "step_s": round(dn["step_s"], 5),
+            "graphs_per_s": round(dn["graphs_per_s"], 1),
+        }
+    except Exception as e:  # noqa: BLE001
+        out["dimenet_n96"] = {"unavailable": str(e)[:200]}
     # fused Pallas cfconv (ops/pallas/cfconv.py): measured when the Mosaic
     # backend is reachable; some tunneled environments proxy compilation
     # through a service without Mosaic support — record the failure instead
@@ -202,6 +225,7 @@ def main():
                     "unbucketed_n64": tpu.get("unbucketed_n64"),
                     "mixed_precision": tpu.get("mixed_precision"),
                     "large_batch": tpu.get("large_batch"),
+                    "dimenet_n96": tpu.get("dimenet_n96"),
                     "pallas_cfconv": tpu.get("pallas_cfconv"),
                 },
             }
@@ -216,6 +240,7 @@ if __name__ == "__main__":
         dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
         n_atoms = int(sys.argv[4]) if len(sys.argv) > 4 else N_ATOMS
         use_pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
-        print(json.dumps(_measure(int(sys.argv[2]), dtype, n_atoms, use_pallas)))
+        backbone = sys.argv[6] if len(sys.argv) > 6 else "schnet"
+        print(json.dumps(_measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone)))
     else:
         main()

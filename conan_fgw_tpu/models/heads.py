@@ -180,7 +180,12 @@ class ConanModel(nn.Module):
             p = pm
         # structure graph: dense adjacency of the radius graph, A[j, i] = j→i
         cs = nbr.swapaxes(-1, -2).astype(hb.dtype).reshape(B, K, N, N)
-        y_bary, _ = fgw_barycenter_batch(ys, cs, ps=ps, p=p, config=self.fgw)
+        y_bary, _, n_div = fgw_barycenter_batch(
+            ys, cs, ps=ps, p=p, config=self.fgw, return_diverged=True
+        )
+        # Sinkhorn numerical-failure counter (rolled-back solves); readable via
+        # ``apply(..., mutable=["diagnostics"])`` and logged by the train loop
+        self.sow("diagnostics", "fgw_diverged", n_div)
         if self.bary_postnorm == "l2col":
             # ViSNet wrapper: zero non-finite barycenters, then normalise each
             # feature column to unit L2 norm (visnet.py:233-241)

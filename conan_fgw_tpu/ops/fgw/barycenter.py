@@ -67,7 +67,7 @@ def sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d, 0.0)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "return_diverged"))
 def fgw_barycenter(
     Ys: jnp.ndarray,
     Cs: jnp.ndarray,
@@ -77,6 +77,7 @@ def fgw_barycenter(
     config: FGWConfig = FGWConfig(),
     init_C: jnp.ndarray | None = None,
     init_Y: jnp.ndarray | None = None,
+    return_diverged: bool = False,
 ):
     """FGW barycenter of K graphs.
 
@@ -92,6 +93,9 @@ def fgw_barycenter(
 
     Returns:
       ``(Y, C)``: barycenter features ``(N, D)`` and structure ``(N, N)``.
+      With ``return_diverged=True``, also the number of coupling solves that
+      hit a Sinkhorn numerical failure and rolled back (reference
+      ``sinkhorn.py:262-274`` divergence detection, surfaced for logging).
     """
     K, N, D = Ys.shape
     C = Cs[0] if init_C is None else init_C
@@ -117,14 +121,16 @@ def fgw_barycenter(
             sinkhorn_thr=config.sinkhorn_thr,
             loss_fun=config.loss_fun,
             symmetric=True,
+            return_diverged=True,
         ),
         in_axes=(0, None, 0, 0, 0),
     )
 
     def outer_step(carry, _):
-        Y, C, T, T_eff, Ms, frozen = carry
+        Y, C, T, T_eff, Ms, frozen, n_div = carry
         T0 = T if config.warmstart else jax.vmap(lambda q: jnp.outer(p, q))(ps)
-        T_new = solve(Ms, C, Cs_ng, ps, T0)
+        T_new, div = solve(Ms, C, Cs_ng, ps, T0)
+        n_div = n_div + jnp.sum(jnp.where(frozen, 0, div.astype(jnp.int32)))
 
         if config.fixed_features:
             Y_new, Ms_new = Y, Ms
@@ -163,8 +169,9 @@ def fgw_barycenter(
         T_eff = jnp.where(frozen, T_eff, T_new)
         Ms = jnp.where(frozen, Ms, Ms_new)
         frozen = frozen | newly_frozen
-        return (Y, C, T, T_eff, Ms, frozen), None
+        return (Y, C, T, T_eff, Ms, frozen, n_div), None
 
+    n_div = jnp.int32(0)
     with jax.default_matmul_precision("highest"):
         if config.stop_grad_couplings:
             # run the entire solve without autodiff residuals, then re-apply
@@ -172,9 +179,9 @@ def fgw_barycenter(
             # gradients to the reference at a fraction of the memory.
             Ys_ng = jax.lax.stop_gradient(Ys)
             Cs_ng = jax.lax.stop_gradient(Cs)
-            (Y, C, _, T_eff, _, _), _ = jax.lax.scan(
+            (Y, C, _, T_eff, _, _, n_div), _ = jax.lax.scan(
                 outer_step,
-                (Y, C, T, T, Ms, jnp.bool_(False)),
+                (Y, C, T, T, Ms, jnp.bool_(False), n_div),
                 None,
                 length=config.outer_iters,
             )
@@ -183,12 +190,14 @@ def fgw_barycenter(
                 Y = inv_p[:, None] * jnp.einsum("k,knm,kmd->nd", lambdas, T_eff, Ys)
         else:
             Ys_ng, Cs_ng = Ys, Cs
-            (Y, C, _, _, _, _), _ = jax.lax.scan(
+            (Y, C, _, _, _, _, n_div), _ = jax.lax.scan(
                 outer_step,
-                (Y, C, T, T, Ms, jnp.bool_(False)),
+                (Y, C, T, T, Ms, jnp.bool_(False), n_div),
                 None,
                 length=config.outer_iters,
             )
+    if return_diverged:
+        return Y, C, n_div
     return Y, C
 
 
@@ -199,6 +208,7 @@ def fgw_barycenter_batch(
     p: jnp.ndarray | None = None,
     lambdas: jnp.ndarray | None = None,
     config: FGWConfig = FGWConfig(),
+    return_diverged: bool = False,
 ):
     """Barycenters for a whole batch: ``Ys (B, K, N, D)``, ``Cs (B, K, N, N)``.
 
@@ -206,6 +216,9 @@ def fgw_barycenter_batch(
     Marginals default to uniform over the padded node axis — deliberately
     identical to the reference, where padding rows of ``to_dense_batch``
     participate with zero adjacency (``schnet_no_sum.py:264-271``).
+
+    ``return_diverged=True`` appends the batch-total count of coupling solves
+    that hit Sinkhorn numerical failures and rolled back.
     """
     B, K, N, _ = Ys.shape
     if ps is None:
@@ -214,6 +227,12 @@ def fgw_barycenter_batch(
         p = jnp.full((B, N), 1.0 / N, Ys.dtype)
     if lambdas is None:
         lambdas = jnp.full((B, K), 1.0 / K, Ys.dtype)
-    return jax.vmap(
-        lambda y, c, psb, pb, lb: fgw_barycenter(y, c, psb, pb, lb, config)
+    out = jax.vmap(
+        lambda y, c, psb, pb, lb: fgw_barycenter(
+            y, c, psb, pb, lb, config, return_diverged=return_diverged
+        )
     )(Ys, Cs, ps, p, lambdas)
+    if return_diverged:
+        Y, C, n_div = out
+        return Y, C, jnp.sum(n_div)
+    return out

@@ -53,6 +53,7 @@ def gw_grad(constC, hC1, hC2, T):
         "loss_fun",
         "symmetric",
         "solver",
+        "return_diverged",
     ),
 )
 def fgw_coupling(
@@ -72,6 +73,7 @@ def fgw_coupling(
     loss_fun: str = "square_loss",
     symmetric: bool = True,
     solver: str = "PGD",
+    return_diverged: bool = False,
 ) -> jnp.ndarray:
     """Solve one FGW coupling ``T`` between graphs ``(C1, p)`` and ``(C2, q)``.
 
@@ -82,6 +84,9 @@ def fgw_coupling(
     ``solver``: "PGD" (entropic projected gradient, the reference hot path)
     or "PPA" (proximal point: the gradient gets an extra ``-eps*log(T)``
     term, ``bregman.py:131-132``).
+
+    ``return_diverged=True`` additionally returns a scalar bool: True if any
+    inner Sinkhorn solve hit non-finite potentials and rolled back.
     """
     if solver not in ("PGD", "PPA"):
         raise ValueError(f"unknown solver {solver!r}; pick 'PGD' or 'PPA'")
@@ -104,7 +109,7 @@ def fgw_coupling(
         check = (jnp.arange(pgd_iters) % 10) == 0
 
         def step(carry, do_check):
-            T, frozen = carry
+            T, frozen, diverged = carry
             if symmetric:
                 tens = alpha * gw_grad(constC, hC1, hC2, T) + (1.0 - alpha) * M
             else:
@@ -113,14 +118,23 @@ def fgw_coupling(
                 ) + (1.0 - alpha) * M
             if solver == "PPA":
                 tens = tens - epsilon * jnp.log(jnp.maximum(T, 1e-30))
-            T_new = sinkhorn_log(
-                p, q, tens, epsilon, num_iters=sinkhorn_iters, stop_thr=sinkhorn_thr
+            T_new, div = sinkhorn_log(
+                p, q, tens, epsilon, num_iters=sinkhorn_iters, stop_thr=sinkhorn_thr,
+                return_diverged=True,
             )
+            # a non-finite plan (despite finite potentials, e.g. inf cost rows)
+            # also counts as a numerical failure: keep the previous iterate
+            bad = div | ~jnp.all(jnp.isfinite(T_new))
             err = jnp.linalg.norm(T_new - T)
-            newly_frozen = do_check & (err <= pgd_tol)
-            T = jnp.where(frozen, T, T_new)
+            newly_frozen = (do_check & (err <= pgd_tol)) | bad
+            T = jnp.where(frozen | bad, T, T_new)
             frozen = frozen | newly_frozen
-            return (T, frozen), None
+            diverged = diverged | bad
+            return (T, frozen, diverged), None
 
-        (T, _), _ = jax.lax.scan(step, (T, jnp.bool_(False)), check)
+        (T, _, diverged), _ = jax.lax.scan(
+            step, (T, jnp.bool_(False), jnp.bool_(False)), check
+        )
+        if return_diverged:
+            return T, diverged
         return T

@@ -6,6 +6,14 @@ Mirrors the behaviour of the reference's ``sinkhorn_log``
 ``stop_thr``" policy — but as a fixed-trip-count ``lax.scan`` whose updates
 are frozen (via ``jnp.where``) once a row has converged, so the whole batch
 shares one compiled program and no data-dependent control flow reaches XLA.
+
+Numerical-failure handling matches the reference's divergence detection
+(``sinkhorn.py:262-274,434-438,646-652``): if an update produces non-finite
+potentials, the solver *rolls back to the previous iterate* and freezes —
+the jit-compatible analog of the reference's "Numerical errors at iteration
+%d, resuming from last stable point" warning + break. The ``diverged`` flag
+(``return_diverged=True``) propagates the event up to the FGW solvers so the
+training loop can surface a divergence counter in its logs.
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ def sinkhorn_log(
     u0: jnp.ndarray | None = None,
     v0: jnp.ndarray | None = None,
     return_potentials: bool = False,
+    return_diverged: bool = False,
 ):
     """Entropic OT plan ``T = exp((-cost/eps) + u ⊕ v)`` in the log domain.
 
@@ -42,9 +51,12 @@ def sinkhorn_log(
         (after the update), matching the reference's cadence.
       u0/v0: optional warm-start log potentials.
       return_potentials: also return final ``(u, v)`` log potentials.
+      return_diverged: also return a scalar bool — True if any iteration hit
+        non-finite potentials and was rolled back (reference
+        ``sinkhorn.py:434-438`` semantics).
 
     Returns:
-      ``T`` of shape ``(N, M)`` (and optionally ``(u, v)``).
+      ``T`` of shape ``(N, M)`` (optionally ``(u, v)`` and/or ``diverged``).
     """
     n, m = cost.shape
     mr = -cost / epsilon
@@ -56,20 +68,31 @@ def sinkhorn_log(
     check = (jnp.arange(num_iters) % check_every) == 0
 
     def step(carry, do_check):
-        u, v, frozen = carry
+        u, v, frozen, diverged = carry
         v_new = logq - jax.nn.logsumexp(mr + u[:, None], axis=0)
         u_new = logp - jax.nn.logsumexp(mr + v_new[None, :], axis=1)
+        # divergence detection: non-finite potentials → roll back to the
+        # previous iterate and stop updating (reference sinkhorn.py:262-274)
+        finite = jnp.all(jnp.isfinite(u_new)) & jnp.all(jnp.isfinite(v_new))
+        newly_diverged = ~finite & ~frozen
         # column marginal of the would-be plan vs q (reference sinkhorn.py:419-421)
         col = jnp.sum(jnp.exp(mr + u_new[:, None] + v_new[None, :]), axis=0)
         err = jnp.linalg.norm(col - q)
-        newly_frozen = do_check & (err < stop_thr)
-        u = jnp.where(frozen, u, u_new)
-        v = jnp.where(frozen, v, v_new)
+        newly_frozen = (do_check & (err < stop_thr)) | newly_diverged
+        keep = frozen | newly_diverged
+        u = jnp.where(keep, u, u_new)
+        v = jnp.where(keep, v, v_new)
         frozen = frozen | newly_frozen
-        return (u, v, frozen), None
+        diverged = diverged | newly_diverged
+        return (u, v, frozen, diverged), None
 
-    (u, v, _), _ = jax.lax.scan(step, (u, v, jnp.bool_(False)), check)
+    (u, v, _, diverged), _ = jax.lax.scan(
+        step, (u, v, jnp.bool_(False), jnp.bool_(False)), check
+    )
     T = jnp.exp(mr + u[:, None] + v[None, :])
+    out = (T,)
     if return_potentials:
-        return T, (u, v)
-    return T
+        out = out + ((u, v),)
+    if return_diverged:
+        out = out + (diverged,)
+    return out if len(out) > 1 else T

@@ -114,7 +114,14 @@ def dataset_max_atoms(records: Sequence[MoleculeRecord]) -> int:
 
 def make_loss_fn(model, settings: TrainSettings) -> Callable:
     def loss_fn(params, batch: PackedBatch):
-        pred = model.apply(params, batch, use_barycenter=settings.use_barycenter)
+        pred, muts = model.apply(
+            params, batch, use_barycenter=settings.use_barycenter,
+            mutable=["diagnostics"],
+        )
+        # Sinkhorn numerical-failure counter from the FGW solver (rolled-back
+        # coupling solves this batch; 0 when the barycenter branch is off)
+        sown = muts.get("diagnostics", {}).get("fgw_diverged", (jnp.int32(0),))
+        n_div = jnp.sum(jnp.asarray(sown[0]))
         y = batch.y[:, None]
         w = batch.mol_mask.astype(pred.dtype)[:, None]
         denom = jnp.maximum(jnp.sum(w), 1.0)
@@ -126,7 +133,7 @@ def make_loss_fn(model, settings: TrainSettings) -> Callable:
             bce = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
             scale = settings.loss_scale if settings.loss_scale is not None else 1.0
             loss = scale * jnp.sum(jnp.where(w > 0, bce, 0.0)) / denom
-        return loss, pred
+        return loss, (pred, n_div)
 
     return loss_fn
 
@@ -157,17 +164,27 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 
 
 def make_step_fns(model, settings: TrainSettings):
+    """Jitted (train_step, eval_step).
+
+    ``train_step(state, batch) -> (state, loss, n_diverged)`` and
+    ``eval_step(params, batch) -> (loss, pred, n_diverged)`` where
+    ``n_diverged`` counts FGW coupling solves whose Sinkhorn iterations hit
+    numerical failures and rolled back this batch (reference
+    ``sinkhorn.py:262-274``; always 0 when the barycenter branch is off).
+    """
     loss_fn = make_loss_fn(model, settings)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: PackedBatch):
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
-        return state.apply_gradients(grads=grads), loss
+        (loss, (_, n_div)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        return state.apply_gradients(grads=grads), loss, n_div
 
     @jax.jit
     def eval_step(params, batch: PackedBatch):
-        loss, pred = loss_fn(params, batch)
-        return loss, pred
+        loss, (pred, n_div) = loss_fn(params, batch)
+        return loss, pred, n_div
 
     return train_step, eval_step
 
@@ -177,6 +194,9 @@ def init_state(model, settings: TrainSettings, sample_batch: PackedBatch, rng_se
     # painfully slow on remote/tunneled devices
     init_fn = jax.jit(lambda rng, b: model.init(rng, b, use_barycenter=True))
     params = init_fn(jax.random.PRNGKey(rng_seed), sample_batch)
+    # drop sown diagnostics (int counters) from the differentiated tree;
+    # apply() re-creates the collection via mutable=["diagnostics"]
+    params = {k: v for k, v in params.items() if k != "diagnostics"}
     tx = make_optimizer(settings)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
@@ -203,18 +223,22 @@ def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int
         from conan_fgw_tpu.parallel import collectives
 
         fetched = [
-            (collectives.gather_to_host(l), collectives.gather_to_host(p))
-            for l, p in device_out
+            (collectives.gather_to_host(l), collectives.gather_to_host(p), d)
+            for l, p, d in device_out
         ]
         valids = [collectives.host_concat(v) for v in valids]
         ys = [collectives.host_concat(y) for y in ys]
     else:
         fetched = jax.device_get(device_out)
-    preds = [np.asarray(p).reshape(-1)[v] for (_, p), v in zip(fetched, valids)]
-    losses = [float(np.mean(l)) for l, _ in fetched]
+    preds = [np.asarray(p).reshape(-1)[v] for (_, p, _), v in zip(fetched, valids)]
+    losses = [float(np.mean(l)) for l, _, _ in fetched]
+    n_div = int(np.sum([np.asarray(d) for _, _, d in fetched]))
     pred = np.concatenate(preds)
     y = np.concatenate([yy[v] for yy, v in zip(ys, valids)])
     out = {"loss": float(np.mean(losses))}
+    if n_div:
+        log.warning("FGW solver: %d Sinkhorn-diverged coupling solves rolled "
+                    "back during evaluation", n_div)
     if settings.task == "regression":
         out["mse"] = metrics_lib.mse(pred, y)
         out["rmse"] = metrics_lib.rmse(pred, y)
@@ -305,6 +329,7 @@ def fit(
         if epoch > start_epoch and callable(train_records):
             epoch_records = train_records()  # fresh K-subset of conformers
         train_losses = []
+        train_divs = []
         # data order keyed on (seed, epoch): resume reproduces the order of
         # any epoch without replaying the rng stream
         epoch_rng = np.random.default_rng([settings.seed, epoch])
@@ -313,9 +338,18 @@ def fit(
             shuffle=settings.shuffle, rng=epoch_rng, bucketed=settings.bucketed,
         ):
             batch = _to_device_batch(pb, mesh)
-            state, loss = train_step(state, batch)
+            state, loss, n_div = train_step(state, batch)
             train_losses.append(loss)
+            train_divs.append(n_div)
         train_loss = float(np.mean([np.asarray(l) for l in train_losses]))
+        epoch_divs = int(np.sum([np.asarray(d) for d in train_divs]))
+        if epoch_divs:
+            # the reference warns per occurrence (sinkhorn.py:434-438); here
+            # the jitted solver rolls back silently and we surface the count
+            log.warning(
+                "FGW solver: %d Sinkhorn-diverged coupling solves rolled back "
+                "in epoch %d", epoch_divs, epoch,
+            )
 
         val_metrics, _, _ = evaluate(
             eval_step, state.params, val_records, settings, max_atoms, mesh
@@ -325,6 +359,7 @@ def fit(
             "epoch": epoch,
             "train_loss": train_loss,
             "lr": plateau.lr,
+            "fgw_diverged": epoch_divs,
             "epoch_time_s": time.time() - t0,
             **{f"val_{k}": v for k, v in val_metrics.items() if k != "loss"},
             "val_loss": val_loss,

@@ -45,7 +45,7 @@ def lr_find(
     batch = first
     for lr in lrs:
         state = loop_lib.set_learning_rate(state, float(lr))
-        state, loss = train_step(state, batch)
+        state, loss, _ = train_step(state, batch)
         loss = float(loss)
         losses.append(loss)
         if not np.isfinite(loss) or (len(losses) > 5 and loss > 4 * min(losses)):

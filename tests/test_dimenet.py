@@ -82,3 +82,41 @@ class TestDimeNet:
         for bary in (False, True):
             out = np.asarray(model.apply(params, batch, use_barycenter=bary))
             assert out.shape == (2, 1) and np.isfinite(out).all()
+
+
+class TestSlotLayoutParity:
+    def test_matches_dense_golden(self):
+        """The neighbor-slot (N·M²) formulation reproduces the dense N³
+        formulation's outputs on the same parameter tree (golden captured
+        from the pre-rewrite implementation, max_neighbors=6 exercising the
+        first-k-by-index cap)."""
+        import os
+
+        data = np.load(os.path.join(os.path.dirname(__file__), "data", "dimenet_golden.npz"))
+        z, pos, mask = jnp.asarray(data["z"]), jnp.asarray(data["pos"]), jnp.asarray(data["mask"])
+        model = DimeNet3D(hidden_channels=16, num_blocks=2, remat=False, max_neighbors=6)
+        params = model.init(jax.random.PRNGKey(3), z, pos, mask)
+        # overwrite init params with the golden tree (same names/shapes)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        leaves = [jnp.asarray(data[f"p::{jax.tree_util.keystr(kp)}"]) for kp, _ in flat]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        out = model.apply(params, z, pos, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), data["out"], rtol=2e-4, atol=2e-3
+        )
+
+    def test_padding_insensitive(self):
+        """Extra padding atoms must not change outputs (gather/mask probe)."""
+        recs = random_dataset(5, 2, num_conformers=1, heavy_range=(4, 6))
+        model = DimeNet3D(**SMALL, max_neighbors=8)
+        outs = []
+        for pad_to in (16, 24):
+            batch = _batch(recs, max_atoms=pad_to)
+            B, K, N = batch.z.shape
+            z = batch.z.reshape(B * K, N)
+            pos = batch.pos.reshape(B * K, N, 3)
+            mask = jnp.repeat(batch.atom_mask, K, axis=0)
+            params = model.init(jax.random.PRNGKey(1), z, pos, mask)
+            outs.append((np.asarray(model.apply(params, z, pos, mask)), np.asarray(mask)))
+        (a, ma), (b, mb) = outs
+        np.testing.assert_allclose(a[ma], b[mb], rtol=1e-4, atol=1e-5)

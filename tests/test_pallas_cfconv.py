@@ -73,6 +73,7 @@ def test_model_wiring_matches_xla_path():
     xla_model = ConanModel(num_gaussians=10)
     pallas_model = ConanModel(num_gaussians=10, use_pallas_cfconv=True)
     params = xla_model.init(jax.random.PRNGKey(0), batch, use_barycenter=True)
+    params = {k: v for k, v in params.items() if k != "diagnostics"}
     out_xla = xla_model.apply(params, batch, use_barycenter=True)
     out_pallas = pallas_model.apply(params, batch, use_barycenter=True)
     np.testing.assert_allclose(

@@ -182,9 +182,9 @@ class TestMultiDevice:
             lambda x: jax.device_put(np.array(x), NamedSharding(mesh, P())), state
         )
 
-        s1, l1 = train_step(state, batch)
+        s1, l1, _ = train_step(state, batch)
         l1 = float(l1)
-        s8, l8 = train_step(rep_state, sharded)
+        s8, l8, _ = train_step(rep_state, sharded)
         np.testing.assert_allclose(l1, float(l8), rtol=1e-5)
         d = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s8.params
