@@ -156,6 +156,43 @@ class NTrialsConformerDataset(ConformerDataset):
         return out
 
 
+class BDEDataset(ConformerDataset):
+    """Bond-dissociation-energy dataset (``BDEDataset``, reference
+    ``datasets.py:223-260``).
+
+    Reference semantics kept: conformer stores must pre-exist (the reference
+    raises when ``{mol_id}.pkl`` is absent — BDE geometries come from an
+    external pipeline, not SMILES embedding), and the molecule identity used
+    for featurisation is taken from the *store* (``Chem.MolToSmiles(mol)``)
+    rather than the CSV column when the store recorded one. Note the
+    reference class is unrunnable upstream: its ``MolGraphFeaturizerBDE`` is
+    referenced but defined nowhere in the repository; this implementation
+    substitutes the standard 3D featuriser, which is what every other
+    conformer dataset there uses.
+    """
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("generate_missing", False)
+        super().__init__(*args, **kwargs)
+
+    def _store_smiles(self, mol_id: str) -> str | None:
+        path = conf_lib.store_path(self.conformers_dir, mol_id)
+        if not os.path.exists(path):
+            raise ValueError(f"Conformers for molecule {mol_id} not found")
+        with np.load(path, allow_pickle=False) as z:
+            if "smiles" in z.files:
+                return str(z["smiles"])
+        return None
+
+    def __getitem__(self, idx: int) -> MoleculeRecord:
+        row = self.rows[idx]
+        stored = self._store_smiles(row["mol_id"])
+        if stored:
+            row = dict(row, smiles=stored)
+            self.rows[idx] = row
+        return super().__getitem__(idx)
+
+
 class SmilesDataset:
     """2D-only dataset (``SmilesBasedDataset``, datasets.py:67-83): featurises
     the covalent graph without conformers (K=1, zero positions)."""

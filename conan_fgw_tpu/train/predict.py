@@ -45,6 +45,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from conan_fgw_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     config = load_config(args.config)
     model = build_model(config, STAGE_BC)
     settings = build_settings(config, STAGE_BC)

@@ -352,6 +352,10 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from conan_fgw_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from conan_fgw_tpu.parallel import mesh as mesh_lib
 
     if args.distributed:

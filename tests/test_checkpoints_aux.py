@@ -91,3 +91,55 @@ class TestCollectives:
         mesh = create_mesh(8)
         x = jax.device_put(jnp.arange(16.0), NamedSharding(mesh, P("data")))
         np.testing.assert_array_equal(gather_to_host(x), np.arange(16.0))
+
+
+class TestAsyncCheckpointer:
+    """The async writer must overlap device->host fetch with training yet be
+    transparent: every read path flushes first."""
+
+    def test_roundtrip_and_flush(self, tmp_path):
+        _, _, state, _, _ = _state_and_batch()
+        ck = RunCheckpointer(str(tmp_path / "run"), async_writes=True)
+        ck.save_best(state, 1, {"val_mse": 0.5})
+        ck.save_last(state, 1)
+        ck.save_state(state, 1, {"plateau": 2})
+        # has()/restore flush the queue before touching disk
+        assert ck.has("best") and ck.has("last")
+        restored = ck.restore_params(state.params, "best")
+        same = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            state.params, restored,
+        )
+        assert all(jax.tree.leaves(same))
+        st2, meta = ck.restore_state(state)
+        assert meta["epoch"] == 1 and meta["loop"] == {"plateau": 2}
+        assert int(st2.step) == int(state.step)
+
+    def test_writer_error_surfaces(self, tmp_path):
+        ck = RunCheckpointer(str(tmp_path / "run"), async_writes=True)
+
+        def boom():
+            raise RuntimeError("disk full")
+
+        ck._submit(boom)
+        try:
+            ck.flush()
+        except RuntimeError as e:
+            assert "disk full" in str(e)
+        else:
+            raise AssertionError("writer error was swallowed")
+
+    def test_snapshot_detaches_from_donation(self, tmp_path):
+        # a save issued right before the train step donates its buffers must
+        # still write the pre-step values
+        model, settings, state, batch, _ = _state_and_batch()
+        vals = jax.tree.map(lambda x: np.asarray(x), state.params)
+        ck = RunCheckpointer(str(tmp_path / "run"), async_writes=True)
+        ck.save_best(state, 0, {})
+        train_step, _ = loop_lib.make_step_fns(model, settings)
+        state = train_step(state, batch)  # donates the old params
+        restored = ck.restore_params(vals, "best")
+        same = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), vals, restored
+        )
+        assert all(jax.tree.leaves(same))

@@ -121,3 +121,44 @@ class TestPacking:
         # conformer store persisted and reused
         ds2 = ConformerDataset("train", str(tmp_path), "mini", "target", 3)
         np.testing.assert_array_equal(ds2[0].z, recs[0].z)
+
+
+class TestBDEDataset:
+    """BDE protocol (reference datasets.py:223-260): stores must pre-exist,
+    and the molecule identity comes from the store when it recorded one."""
+
+    def test_missing_store_raises(self, tmp_path):
+        from conan_fgw_tpu.data.datasets import BDEDataset, write_csv
+
+        write_csv(
+            str(tmp_path / "bde" / "train.csv"),
+            [{"smiles": "CCO", "y": 1.0, "mol_id": "a"}],
+            target="target",
+        )
+        ds = BDEDataset("train", str(tmp_path), "bde", "target", 2)
+        try:
+            ds[0]
+        except ValueError as e:
+            assert "not found" in str(e)
+        else:
+            raise AssertionError("expected ValueError for missing store")
+
+    def test_store_smiles_overrides_csv(self, tmp_path):
+        from conan_fgw_tpu.data import conformers as conf
+        from conan_fgw_tpu.data.datasets import BDEDataset, write_csv
+
+        # CSV says CCO (9 atoms with H); the store was built from CO
+        # (6 atoms). The BDE protocol featurises the store's molecule, so
+        # the record must come out with 6 atoms, not raise a mismatch.
+        write_csv(
+            str(tmp_path / "bde" / "train.csv"),
+            [{"smiles": "CCO", "y": 1.0, "mol_id": "a"}],
+            target="target",
+        )
+        cdir = str(tmp_path / "bde" / "conformers_train")
+        failed = conf.generate_store(["CO"], ["a"], cdir, 2, max_workers=1)
+        assert not failed
+        ds = BDEDataset("train", str(tmp_path), "bde", "target", 2)
+        rec = ds[0]
+        assert rec.num_atoms == 6
+        assert rec.smiles == "CO"
