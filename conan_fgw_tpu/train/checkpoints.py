@@ -15,7 +15,6 @@ from __future__ import annotations
 import atexit
 import json
 import os
-import queue
 import threading
 from typing import Any
 
@@ -100,6 +99,16 @@ class RunCheckpointer:
     compute. The device copy means donated train-step buffers are never
     aliased by an in-flight save. ``flush()`` (called automatically by every
     restore/has and at interpreter exit) drains the queue.
+
+    Pending saves are **coalesced by checkpoint name**: when the training
+    loop produces saves faster than the writer can fetch+write them (0.6s
+    epochs vs multi-second tunneled fetches), a newer ``last``/``last_state``/
+    ``best`` simply replaces the not-yet-started older one. That bounds both
+    the flush backlog and the number of device-side snapshots alive at once
+    to the number of distinct checkpoint names (≤3), instead of growing by
+    two per epoch — the semantics are unchanged because only the newest save
+    per name can ever be observed after a flush, and ``save_best`` is only
+    called on metric improvement (the newest *is* the best).
     """
 
     def __init__(
@@ -119,7 +128,11 @@ class RunCheckpointer:
 
             self._orbax = ocp.StandardCheckpointer()
         self._async = async_writes and backend == "npz"
-        self._queue: "queue.Queue" = queue.Queue()
+        # pending jobs keyed by checkpoint name; a re-save of the same name
+        # replaces the queued (not-yet-started) one
+        self._pending: dict[str, list] = {}
+        self._cond = threading.Condition()
+        self._busy = False  # a job is being written right now
         self._writer: threading.Thread | None = None
         self._write_error: BaseException | None = None
         if self._async:
@@ -128,33 +141,44 @@ class RunCheckpointer:
     # -- async writer ------------------------------------------------------
     def _writer_loop(self):
         while True:
-            item = self._queue.get()
-            if item is None:
-                self._queue.task_done()
-                return
-            fn, args = item
+            with self._cond:
+                while not self._pending:
+                    self._cond.wait()
+                key = next(iter(self._pending))
+                steps = self._pending.pop(key)
+                self._busy = True
             try:
-                fn(*args)
+                for fn, args in steps:
+                    fn(*args)
             except BaseException as e:  # surfaced on the next flush()
                 self._write_error = e
             finally:
-                self._queue.task_done()
+                with self._cond:
+                    self._busy = False
+                    self._cond.notify_all()
 
-    def _submit(self, fn, *args):
+    def _submit(self, key: str, steps: list):
+        """steps: list of (fn, args) written as one unit (payload + meta)."""
         if not self._async:
-            fn(*args)
+            for fn, args in steps:
+                fn(*args)
             return
-        if self._writer is None or not self._writer.is_alive():
-            self._writer = threading.Thread(
-                target=self._writer_loop, daemon=True, name=f"ckpt-writer:{self.directory}"
-            )
-            self._writer.start()
-        self._queue.put((fn, args))
+        with self._cond:
+            if self._writer is None or not self._writer.is_alive():
+                self._writer = threading.Thread(
+                    target=self._writer_loop, daemon=True,
+                    name=f"ckpt-writer:{self.directory}",
+                )
+                self._writer.start()
+            self._pending[key] = steps  # coalesce: newest save wins
+            self._cond.notify_all()
 
     def flush(self):
         """Block until all queued saves hit disk; re-raise any writer error."""
         if self._async and self._writer is not None and self._writer.is_alive():
-            self._queue.join()
+            with self._cond:
+                while self._pending or self._busy:
+                    self._cond.wait()
         if self._write_error is not None:
             err, self._write_error = self._write_error, None
             raise err
@@ -185,12 +209,16 @@ class RunCheckpointer:
             json.dump(payload, f)
 
     def save_best(self, state, epoch: int, metrics: dict | None = None):
-        self._submit(self._save, "best", self._device_snapshot(state.params))
-        self._submit(self._meta_write, "best", {"epoch": epoch, "metrics": metrics or {}})
+        self._submit("best", [
+            (self._save, ("best", self._device_snapshot(state.params))),
+            (self._meta_write, ("best", {"epoch": epoch, "metrics": metrics or {}})),
+        ])
 
     def save_last(self, state, epoch: int):
-        self._submit(self._save, "last", self._device_snapshot(state.params))
-        self._submit(self._meta_write, "last", {"epoch": epoch, "metrics": {}})
+        self._submit("last", [
+            (self._save, ("last", self._device_snapshot(state.params))),
+            (self._meta_write, ("last", {"epoch": epoch, "metrics": {}})),
+        ])
 
     def save_state(self, state, epoch: int, loop_state: dict | None = None):
         """Full train state (params + optimiser + step) for mid-run resume.
@@ -201,10 +229,10 @@ class RunCheckpointer:
         schedule state carried in ``loop_state``.
         """
         snap = self._device_snapshot((state.params, state.opt_state, state.step))
-        self._submit(self._save, "last_state", snap)
-        self._submit(
-            self._meta_write, "last_state", {"epoch": epoch, "loop": loop_state or {}}
-        )
+        self._submit("last_state", [
+            (self._save, ("last_state", snap)),
+            (self._meta_write, ("last_state", {"epoch": epoch, "loop": loop_state or {}})),
+        ])
 
     def restore_state(self, state_template, which: str = "last_state"):
         """Returns ``(restored_state, meta_dict)``; template supplies structure."""

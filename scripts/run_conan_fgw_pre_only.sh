@@ -3,13 +3,16 @@
 # run just the conan_fgw_pre (no-barycenter) stage.
 #
 # Usage:
-#   model=schnet ds=esol n_cfm=5 runs=1 ./scripts/run_conan_fgw_pre_only.sh
+#   model=schnet ds=esol n_cfm=5 runs=5 ./scripts/run_conan_fgw_pre_only.sh
+#
+# runs defaults to 5 to match run_conan_fgw_only.sh: stage 2 warm-starts per
+# run index, so stage 1 must be run with the same number_of_runs.
 set -euo pipefail
 
 model="${model:-schnet}"
 ds="${ds:-esol}"
 n_cfm="${n_cfm:-5}"
-runs="${runs:-1}"
+runs="${runs:-5}"
 data_root="${data_root:-.}"
 run_name="${run_name:-${model}_${ds}_${n_cfm}}"
 run_id="${run_id:-$(date +"%Y-%m-%d-%T")}"

@@ -121,7 +121,7 @@ class TestAsyncCheckpointer:
         def boom():
             raise RuntimeError("disk full")
 
-        ck._submit(boom)
+        ck._submit("best", [(boom, ())])
         try:
             ck.flush()
         except RuntimeError as e:
@@ -143,3 +143,28 @@ class TestAsyncCheckpointer:
             lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), vals, restored
         )
         assert all(jax.tree.leaves(same))
+
+    def test_pending_saves_coalesce(self, tmp_path):
+        """600 queued epoch saves must collapse to a bounded backlog: the
+        writer observes only the newest save per checkpoint name."""
+        import threading
+
+        ck = RunCheckpointer(str(tmp_path / "run"), async_writes=True)
+        gate = threading.Event()
+        written = []
+
+        def slow_write(tag):
+            gate.wait(5)
+            written.append(tag)
+
+        # occupy the writer so subsequent submits pile up in _pending
+        ck._submit("warmup", [(slow_write, ("warmup",))])
+        for epoch in range(50):
+            ck._submit("last", [(slow_write, (f"last{epoch}",))])
+            ck._submit("last_state", [(slow_write, (f"state{epoch}",))])
+        assert len(ck._pending) <= 2  # coalesced, not 100 deep
+        gate.set()
+        ck.flush()
+        # exactly one (the newest) per name actually hit the writer
+        assert written.count("last49") == 1 and written.count("state49") == 1
+        assert not any(w.startswith("last") and w != "last49" for w in written if w != "warmup")

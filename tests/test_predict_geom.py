@@ -117,3 +117,93 @@ class TestPredict:
         lines = out.read_text().strip().splitlines()
         assert lines[0] == "mol_id,smiles,prediction,target"
         assert len(lines) == 2  # header + 1 test molecule
+
+
+class _FakeConf:
+    """Duck-typed stand-in for an RDKit Conformer (GetPositions only)."""
+
+    def __init__(self, pos):
+        self._pos = np.asarray(pos, np.float64)
+
+    def GetPositions(self):
+        return self._pos
+
+
+class _FakeRDMol:
+    """Duck-typed stand-in for the pickled GEOM ``rd_mol`` objects: the
+    converter only calls ``GetConformers()[0].GetPositions()``."""
+
+    def __init__(self, pos):
+        self._confs = [_FakeConf(pos)]
+
+    def GetConformers(self):
+        return self._confs
+
+
+class TestGEOMPickleFixture:
+    """Exercises the raw GEOM-Drugs pickle path (summary.json →
+    per-molecule pickle of conformer dicts → npz conversion), reference
+    ``datasets.py:288-349`` semantics, without needing RDKit."""
+
+    def _make_pickles(self, root, smiles_list, confs=4):
+        import pickle
+
+        ddir = os.path.join(root, "geomtest")
+        pdir = os.path.join(ddir, "pickles")
+        os.makedirs(pdir, exist_ok=True)
+        summary = {}
+        rng = np.random.default_rng(7)
+        for i, s in enumerate(smiles_list):
+            mol = smi.add_hydrogens(smi.parse_smiles(s))
+            n = mol.num_atoms
+            conf_dic = {
+                "conformers": [
+                    {"rd_mol": _FakeRDMol(rng.normal(size=(n, 3)))}
+                    for _ in range(confs)
+                ]
+            }
+            rel = os.path.join("geomtest", "pickles", f"m{i}.pickle")
+            with open(os.path.join(root, rel), "wb") as f:
+                pickle.dump(conf_dic, f)
+            summary[s] = {"pickle_path": rel}
+        import json
+
+        with open(os.path.join(ddir, "summary.json"), "w") as f:
+            json.dump(summary, f)
+        return summary
+
+    def test_convert_geom_store(self, tmp_path):
+        from conan_fgw_tpu.data.geom import convert_geom_store, load_geom_positions
+
+        root = str(tmp_path)
+        ddir = os.path.join(root, "geomtest")
+        rows = [
+            {"smiles": s, "y": 0.1 * i, "mol_id": f"g{i}"}
+            for i, s in enumerate(SMILES[:3])
+        ]
+        write_csv(os.path.join(ddir, "train.csv"), rows, target="target")
+        summary = self._make_pickles(root, SMILES[:3])
+        pos = load_geom_positions(root, summary[SMILES[0]]["pickle_path"])
+        assert pos.shape[0] == 4 and pos.shape[2] == 3
+        out = convert_geom_store(root, "geomtest")
+        for s in SMILES[:3]:
+            p = conf_lib.store_path(out, s)
+            assert os.path.exists(p)
+            with np.load(p, allow_pickle=False) as z:
+                assert z["positions"].shape[0] == 4
+        # converted stores now feed the dataset RDKit-free
+        ds = GEOMDataset("train", root, "geomtest", "target", num_conformers=2)
+        recs = ds.records()
+        assert len(recs) == 3 and all(r.pos.shape[0] == 2 for r in recs)
+
+    def test_pickle_fallback_without_npz(self, tmp_path):
+        """No converted store → the dataset reads the raw pickle directly."""
+        root = str(tmp_path)
+        ddir = os.path.join(root, "geomtest")
+        rows = [{"smiles": SMILES[0], "y": 0.5, "mol_id": "g0"}]
+        write_csv(os.path.join(ddir, "train.csv"), rows, target="target")
+        self._make_pickles(root, [SMILES[0]])
+        ds = GEOMDataset("train", root, "geomtest", "target", num_conformers=3)
+        r = ds[0]
+        assert r.pos.shape == (3, r.z.shape[0], 3)
+        assert np.isfinite(r.pos).all()

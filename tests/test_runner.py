@@ -133,3 +133,57 @@ class TestConfigCompat:
             cfg = load_config(path)
             _ = cfg.spec
             _ = build_model(cfg, STAGE_BC)
+
+
+class TestGEOMClassificationCLI:
+    def test_cov2_style_pipeline(self, tmp_path):
+        """GEOM classification experiment end-to-end through the CLI: the
+        CoV-2 layout (CSV + npz conformer stores + binary labels) trains and
+        reports AUROC (reference experiments.py:42-54 pipeline)."""
+        import json
+        import os
+
+        from conan_fgw_tpu.data import conformers as conf_lib
+        from conan_fgw_tpu.data import smiles as smi
+        from conan_fgw_tpu.data.datasets import write_csv
+        from conan_fgw_tpu.train import runner as runner_cli
+
+        smiles = ["CCO", "CCC", "CCN", "COC", "CCCl", "CC(C)C", "CCOC", "CNC"]
+        root = tmp_path / "data" / "cov2mini"
+        npz_dir = root / "conformers_npz"
+        os.makedirs(npz_dir, exist_ok=True)
+        rows = [
+            {"smiles": s, "y": float(i % 2), "mol_id": f"c{i}"}
+            for i, s in enumerate(smiles)
+        ]
+        for mode, sl in [("train", slice(0, 4)), ("valid", slice(4, 6)), ("test", slice(6, 8))]:
+            write_csv(str(root / f"{mode}.csv"), rows[sl], target="active")
+        for s in smiles:
+            mol = smi.add_hydrogens(smi.parse_smiles(s))
+            pos = conf_lib.dg_generate(mol, 3, seed=1)
+            np.savez_compressed(
+                conf_lib.store_path(str(npz_dir), s), positions=pos, smiles=np.str_(s)
+            )
+        cfg = tmp_path / "cov2.yaml"
+        cfg.write_text(
+            "dataset_name: ['cov2mini']\n"
+            "target: ['active']\n"
+            "num_conformers: 2\n"
+            "batch_size: 4\n"
+            "experiment: conan_fgw.src.experiments.SOTAClassificationGEOMExperiment\n"
+            "num_epochs: 1\n"
+            "learning_rate: 0.001\n"
+            "model_name: schnet\n"
+            "max_atoms: 32\n"
+        )
+        out = tmp_path / "summary.json"
+        runner_cli.main([
+            "--config", str(cfg), "--stage", "conan_fgw_pre",
+            "--data_root", str(tmp_path), "--run_name", "cov", "--run_id", "1",
+            "--models_dir", str(tmp_path / "models"),
+            "--logs_dir", str(tmp_path / "logs"),
+            "--metrics_dir", str(tmp_path / "metrics"),
+            "--out_json", str(out),
+        ])
+        summary = json.loads(out.read_text())
+        assert 0.0 <= summary["test_auroc"]["mean"] <= 1.0
