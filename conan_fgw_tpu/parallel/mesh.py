@@ -11,19 +11,38 @@ backward pass of the jitted train step. For multi-host runs call
 
 from __future__ import annotations
 
+import logging
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+log = logging.getLogger("conan_fgw_tpu")
+
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host bring-up (no-op on a single host without env config)."""
+    """Multi-host bring-up (no-op on a single host without env config).
+
+    On Cloud TPU/Slurm, ``jax.distributed.initialize`` auto-detects the
+    topology. For manual bring-up (e.g. multi-process CPU testing) the
+    coordinator can be passed via ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``.
+    """
+    env = os.environ
+    for kw, var, cast in (
+        ("coordinator_address", "JAX_COORDINATOR_ADDRESS", str),
+        ("num_processes", "JAX_NUM_PROCESSES", int),
+        ("process_id", "JAX_PROCESS_ID", int),
+    ):
+        if kw not in kwargs and env.get(var):
+            kwargs[kw] = cast(env[var])
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:  # already initialised or single-process
-        pass
+    except Exception as e:  # already initialised or single-process
+        log.warning("jax.distributed.initialize skipped: %s", e)
 
 
 def create_mesh(num_devices: int | None = None, devices=None) -> Mesh:

@@ -356,6 +356,12 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    overrides = {"model_name": args.model_name} if args.model_name else {}
+    config = load_config(args.config, **overrides)
+    build_logger(
+        os.path.join(args.logs_dir, args.run_name, args.run_id, f"run_{args.stage}", "log.txt")
+    )
+
     from conan_fgw_tpu.parallel import mesh as mesh_lib
 
     if args.distributed:
@@ -367,12 +373,6 @@ def main(argv=None):
             "data-parallel mesh: %d devices, %d process(es)",
             mesh.devices.size, jax.process_count(),
         )
-
-    overrides = {"model_name": args.model_name} if args.model_name else {}
-    config = load_config(args.config, **overrides)
-    build_logger(
-        os.path.join(args.logs_dir, args.run_name, args.run_id, f"run_{args.stage}", "log.txt")
-    )
     summary, _ = run_experiment(
         config,
         stage=args.stage,

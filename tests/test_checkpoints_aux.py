@@ -148,17 +148,21 @@ class TestAsyncCheckpointer:
         """600 queued epoch saves must collapse to a bounded backlog: the
         writer observes only the newest save per checkpoint name."""
         import threading
+        import time
 
         ck = RunCheckpointer(str(tmp_path / "run"), async_writes=True)
         gate = threading.Event()
         written = []
 
         def slow_write(tag):
-            gate.wait(5)
+            gate.wait(30)
             written.append(tag)
 
         # occupy the writer so subsequent submits pile up in _pending
         ck._submit("warmup", [(slow_write, ("warmup",))])
+        deadline = time.time() + 10
+        while "warmup" in ck._pending and time.time() < deadline:
+            time.sleep(0.005)  # wait for the writer to pick the job up
         for epoch in range(50):
             ck._submit("last", [(slow_write, (f"last{epoch}",))])
             ck._submit("last_state", [(slow_write, (f"state{epoch}",))])
