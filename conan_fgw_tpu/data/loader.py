@@ -3,8 +3,10 @@
 Replaces the reference's ``DataLoader(num_workers=8)`` + ``DistributedSampler``
 (``conan_fgw/src/data/datamodules.py:61-77``): batches are packed with the
 native C++ packer when available and prefetched on a background thread so the
-host pipeline overlaps with device steps. For multi-host runs, ``shard_range``
-selects this host's slice of the dataset (the DistributedSampler analog).
+host pipeline overlaps with device steps. Multi-host runs consume the same
+global batch stream on every host and shard per batch at device-put time
+(``parallel.mesh.shard_batch``); ``shard_range`` remains for host-local work
+splitting (e.g. offline featurisation fan-out).
 """
 
 from __future__ import annotations

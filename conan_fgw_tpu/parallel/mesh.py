@@ -62,17 +62,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _local_row_block(sh: NamedSharding, shape) -> tuple[int, int]:
+    """[start, stop) of the leading-axis rows owned by this process's devices
+    (contiguous for a 1-D ``data`` mesh in device order)."""
+    starts, stops = [], []
+    for idx in sh.addressable_devices_indices_map(tuple(shape)).values():
+        s = idx[0]
+        starts.append(s.start or 0)
+        stops.append(shape[0] if s.stop is None else s.stop)
+    return min(starts), max(stops)
+
+
 def shard_batch(batch_dict, mesh: Mesh):
     """Device-put every array in the batch with its leading axis sharded.
 
-    On multi-host meshes each process passes its local shard (see
-    ``data.loader.shard_range``) and the global array is assembled with
-    ``make_array_from_process_local_data``.
+    Every process passes the **same global batch** (hosts consume an
+    identical, identically-shuffled batch stream — the seeded epoch rng makes
+    this deterministic); each process device-puts only the leading-axis row
+    block its devices own, and the global array is assembled with
+    ``make_array_from_process_local_data``. Compared to per-host dataset
+    shards this keeps multi-host training bit-identical to single-host (same
+    global batches) and makes bucketed batching safe: every host sees the
+    same batch shapes in the same order, so no host can fall out of step with
+    a collective.
     """
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-            batch_dict,
-        )
+
+        def put(x):
+            x = np.asarray(x)
+            lo, hi = _local_row_block(sh, x.shape)
+            return jax.make_array_from_process_local_data(sh, x[lo:hi])
+
+        return jax.tree.map(put, batch_dict)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch_dict)

@@ -217,17 +217,16 @@ def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int
         batch = _to_device_batch(pb, mesh)
         device_out.append(eval_step(params, batch))
     if multihost:
-        # predictions are global jax Arrays spanning all hosts; bring them —
-        # and each host's local mask/label rows — to every host
-        # (the reference's DDP all_gather, common.py:307-333, generalised)
+        # predictions are global jax Arrays spanning all hosts; bring them to
+        # every host (the reference's DDP all_gather, common.py:307-333,
+        # generalised). Masks/labels are host-side copies of the global batch
+        # every process already packed — no cross-host concat needed.
         from conan_fgw_tpu.parallel import collectives
 
         fetched = [
             (collectives.gather_to_host(l), collectives.gather_to_host(p), d)
             for l, p, d in device_out
         ]
-        valids = [collectives.host_concat(v) for v in valids]
-        ys = [collectives.host_concat(y) for y in ys]
     else:
         fetched = jax.device_get(device_out)
     preds = [np.asarray(p).reshape(-1)[v] for (_, p, _), v in zip(fetched, valids)]

@@ -161,22 +161,16 @@ def run_experiment(
             )
             config = dataclasses.replace(config, batch_size=new_bs)
         if jax.process_count() > 1:
-            # per-host contiguous shard of every split — the
-            # DistributedSampler(shuffle=False) analog; the global batch is
-            # reassembled on device by make_array_from_process_local_data
-            from conan_fgw_tpu.data.loader import shard_range
-
-            pc, pi = jax.process_count(), jax.process_index()
-            datasets = {
-                m: [recs[i] for i in shard_range(len(recs), pi, pc)]
-                for m, recs in datasets.items()
-            }
-            if train_provider is not None:
-                base = train_provider
-
-                def train_provider():
-                    recs = base()
-                    return [recs[i] for i in shard_range(len(recs), pi, pc)]
+            # every host consumes the identical global batch stream (the
+            # epoch rng is seeded, so shuffles agree) and device-puts only
+            # its devices' row block (mesh.shard_batch). Unlike per-host
+            # dataset shards this cannot deadlock on uneven shard sizes or
+            # divergent bucket schedules, and training stays bit-identical
+            # to single-host.
+            log.info(
+                "multi-host: global batch stream on %d processes "
+                "(per-batch row sharding)", jax.process_count(),
+            )
 
     loss_scale = None
     if config.spec.task == "classification":

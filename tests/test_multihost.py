@@ -43,11 +43,15 @@ def test_two_process_dp_runner(tmp_path):
         {"smiles": s, "y": 0.37 * i - 1.0, "mol_id": f"m{i}"}
         for i, s in enumerate(SMILES)
     ]
-    for mode, sl in [("train", slice(0, 12)), ("valid", slice(12, 16)), ("test", slice(16, 20))]:
+    # 13 train molecules: an odd count whose per-host record shards would
+    # have produced unequal batch counts (a collective deadlock) under
+    # shard-by-records; the global-batch-stream design must not care
+    splits = [("train", slice(0, 13)), ("valid", slice(13, 16)), ("test", slice(16, 20))]
+    for mode, sl in splits:
         write_csv(str(ddir / f"{mode}.csv"), rows[sl], target="target")
     # pre-generate every conformer store: two processes featurising the same
     # molecules concurrently would race on the npz writes
-    for mode, sl in [("train", slice(0, 12)), ("valid", slice(12, 16)), ("test", slice(16, 20))]:
+    for mode, sl in splits:
         cdir = str(ddir / f"conformers_{mode}")
         failed = conf_lib.generate_store(
             [r["smiles"] for r in rows[sl]], [r["mol_id"] for r in rows[sl]],
@@ -112,4 +116,29 @@ def test_two_process_dp_runner(tmp_path):
     assert np.isfinite(s0["test_rmse"]["mean"])
     np.testing.assert_allclose(
         s0["test_rmse"]["mean"], s1["test_rmse"]["mean"], rtol=1e-5
+    )
+
+    # and matches a single-process run over the same 4-device mesh: the
+    # global batch stream makes multi-host DP numerically equivalent
+    env = dict(os.environ)
+    env.update(XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               CONAN_FGW_TPU_JAX_CACHE="")
+    out_sp = root / "summary_sp.json"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "conan_fgw_tpu.train.runner",
+            "--config", str(cfg), "--stage", "conan_fgw_pre",
+            "--data_root", str(root), "--run_name", "sp", "--run_id", "0",
+            "--models_dir", str(root / "models_sp"),
+            "--logs_dir", str(root / "logs_sp"),
+            "--metrics_dir", str(root / "metrics_sp"),
+            "--platform", "cpu", "--num_devices", "4",
+            "--out_json", str(out_sp),
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout[-4000:] + res.stderr[-2000:]
+    sp = json.loads(out_sp.read_text())
+    np.testing.assert_allclose(
+        s0["test_rmse"]["mean"], sp["test_rmse"]["mean"], rtol=1e-4
     )
