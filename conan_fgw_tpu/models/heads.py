@@ -173,9 +173,13 @@ class ConanModel(nn.Module):
             shifted = hb + self.bary_shift
             lo = jnp.min(jnp.where(node_mask, shifted, jnp.inf), axis=(-2, -1), keepdims=True)
             hi = jnp.max(jnp.where(node_mask, shifted, -jnp.inf), axis=(-2, -1), keepdims=True)
-            ys = (a + (shifted - lo) * (b - a) / (hi - lo + 1e-12)) * node_mask
+            # where(), not multiply-by-mask: batch-filler molecules have
+            # lo=inf/hi=-inf, and nan*0 would poison the solve
+            ys = jnp.where(
+                node_mask, a + (shifted - lo) * (b - a) / (hi - lo + 1e-12), 0.0
+            )
             counts = jnp.sum(batch.atom_mask, axis=-1, keepdims=True)
-            pm = batch.atom_mask.astype(hb.dtype) / counts
+            pm = batch.atom_mask.astype(hb.dtype) / jnp.maximum(counts, 1)
             ps = jnp.broadcast_to(pm[:, None, :], (B, K, N))
             p = pm
         # structure graph: dense adjacency of the radius graph, A[j, i] = j→i

@@ -102,8 +102,12 @@ def fgw_barycenter(
     Y = jnp.zeros((N, D), Ys.dtype) if init_Y is None else init_Y
     T = jax.vmap(lambda q: jnp.outer(p, q))(ps)  # (K, N, N)
     Ms = sqdist(Y[None], Ys)  # (K, N, N)
-    inv_p = 1.0 / p
+    # zero-mass rows (masked-marginal mode excludes padding atoms entirely)
+    # must not poison the updates: 1/0 -> inf and inf*0 -> nan otherwise
+    has_mass = p > 0
+    inv_p = jnp.where(has_mass, 1.0 / jnp.where(has_mass, p, 1.0), 0.0)
     ppt = jnp.outer(p, p)
+    ppt_safe = jnp.where(ppt > 0, ppt, 1.0)
 
     solve = jax.vmap(
         lambda M, Cb, Ck, q, T0: fgw_coupling(
@@ -143,19 +147,26 @@ def fgw_barycenter(
         else:
             if config.loss_fun == "square_loss":
                 # C = sum_s lambda_s T_s C_s T_s^T / p p^T  (fgw/utils.py:67-73)
-                C_new = (
-                    jnp.einsum("k,knm,kmj,klj->nl", lambdas, T_new, Cs_ng, T_new) / ppt
+                C_new = jnp.where(
+                    ppt > 0,
+                    jnp.einsum("k,knm,kmj,klj->nl", lambdas, T_new, Cs_ng, T_new)
+                    / ppt_safe,
+                    0.0,
                 )
             else:
-                C_new = jnp.exp(
-                    jnp.einsum(
-                        "k,knm,kmj,klj->nl",
-                        lambdas,
-                        T_new,
-                        jnp.log(jnp.maximum(Cs_ng, 1e-15)),
-                        T_new,
-                    )
-                    / ppt
+                C_new = jnp.where(
+                    ppt > 0,
+                    jnp.exp(
+                        jnp.einsum(
+                            "k,knm,kmj,klj->nl",
+                            lambdas,
+                            T_new,
+                            jnp.log(jnp.maximum(Cs_ng, 1e-15)),
+                            T_new,
+                        )
+                        / ppt_safe
+                    ),
+                    0.0,
                 )
         err_f = jnp.linalg.norm(Y_new - Y) if not config.fixed_features else 0.0
         err_s = jnp.linalg.norm(C_new - C) if not config.fixed_structure else 0.0

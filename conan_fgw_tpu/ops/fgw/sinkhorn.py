@@ -21,7 +21,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_LOG_EPS = 1e-38  # guard for log(0) on empty-mass marginals
+# guard for log(0) on empty-mass marginals. Must be a *normal* float32:
+# 1e-38 is subnormal (min normal ~1.18e-38) and XLA flushes subnormals to
+# zero, turning the guard into log(0) = -inf — which the divergence detector
+# then reads as a numerical failure on every masked-marginal solve.
+_LOG_EPS = 1e-30
 
 
 def sinkhorn_log(

@@ -46,6 +46,7 @@ def build_model(config: ExperimentConfig, stage: str) -> ConanModel:
         fgw=FGWConfig(),
         bary_pad_mode=config.bary_pad_mode,
         use_pallas_cfconv=config.use_pallas_cfconv,
+        compute_dtype=config.compute_dtype,
     )
     if config.model_name == "visnet":
         # wrapper defaults: cutoff 5.0; bary branch shifts +1.0 and L2-column

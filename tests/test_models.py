@@ -131,3 +131,57 @@ class TestParameterTree:
         p_pre = model.init(jax.random.PRNGKey(0), batch, use_barycenter=False)
         p_bc = model.init(jax.random.PRNGKey(0), batch, use_barycenter=True)
         assert jax.tree.structure(p_pre) == jax.tree.structure(p_bc)
+
+
+class TestMaskedPadMode:
+    """Regression: bary_pad_mode='masked' went NaN in production (every
+    Sinkhorn solve 'diverged') because zero-mass padding marginals hit
+    1/p=inf in the Y update, ppt=0 in the C update, and 0/0 marginals on
+    batch-filler molecules."""
+
+    def test_forward_grad_finite_with_fillers(self, recs):
+        model = ConanModel(bary_pad_mode="masked", **SMALL)
+        # batch_size > len(recs): real padding *fillers* (mol_mask False)
+        batch = _batch(recs, 32, batch_size=6)
+        params = model.init(jax.random.PRNGKey(0), batch, use_barycenter=True)
+        params = {k: v for k, v in params.items() if k != "diagnostics"}
+
+        def loss(p):
+            out, aux = model.apply(
+                p, batch, use_barycenter=True, mutable=["diagnostics"]
+            )
+            valid = batch.mol_mask.astype(out.dtype)
+            return jnp.sum((out[:, 0] * valid) ** 2), aux
+
+        (val, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        assert np.isfinite(float(val))
+        leaves = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        # and no solve should report a numerical failure
+        n_div = int(np.asarray(jax.tree.leaves(aux)[0]).sum())
+        assert n_div == 0
+
+    def test_masked_barycenter_pad_rows_stay_zero(self):
+        from conan_fgw_tpu.ops.fgw import FGWConfig
+        from conan_fgw_tpu.ops.fgw.barycenter import fgw_barycenter_batch
+
+        rng = np.random.default_rng(3)
+        B, K, N, D, n_real = 2, 3, 8, 4, 5
+        mask = np.zeros((B, N)); mask[:, :n_real] = 1.0
+        Ys = rng.uniform(0.1, 2.0, (B, K, N, D)) * mask[:, None, :, None]
+        Cs = (rng.uniform(size=(B, K, N, N)) < 0.4).astype(np.float64)
+        Cs = np.tril(Cs) + np.tril(Cs, -1).swapaxes(-1, -2)
+        Cs = Cs * mask[:, None, :, None] * mask[:, None, None, :]
+        p = mask / mask.sum(-1, keepdims=True)
+        ps = np.broadcast_to(p[:, None], (B, K, N))
+        Y, C, n_div = fgw_barycenter_batch(
+            jnp.asarray(Ys), jnp.asarray(Cs), ps=jnp.asarray(ps), p=jnp.asarray(p),
+            config=FGWConfig(), return_diverged=True,
+        )
+        Y, C = np.asarray(Y), np.asarray(C)
+        assert np.isfinite(Y).all() and np.isfinite(C).all()
+        assert int(n_div) == 0
+        # padding rows carry no mass and must come out exactly zero
+        np.testing.assert_array_equal(Y[:, n_real:], 0.0)
+        np.testing.assert_array_equal(C[:, n_real:], 0.0)
+        np.testing.assert_array_equal(C[:, :, n_real:], 0.0)

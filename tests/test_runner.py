@@ -187,3 +187,13 @@ class TestGEOMClassificationCLI:
         ])
         summary = json.loads(out.read_text())
         assert 0.0 <= summary["test_auroc"]["mean"] <= 1.0
+
+    def test_compute_dtype_threads_to_model(self, tmp_path):
+        p = tmp_path / "bf16.yaml"
+        p.write_text(
+            "dataset_name: ['esol']\ntarget: ['y']\nnum_conformers: 2\n"
+            "batch_size: 4\nexperiment: regression\nnum_epochs: 1\n"
+            "learning_rate: 0.001\ncompute_dtype: bfloat16\n"
+        )
+        model = build_model(load_config(str(p)), STAGE_PRE)
+        assert model.compute_dtype == "bfloat16"
