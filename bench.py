@@ -1,15 +1,24 @@
 """Benchmark: stage-2 (FGW barycenter) training-step throughput on TPU.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": "conformer_graphs_per_sec", "value": N, "unit": "graphs/s",
    "vs_baseline": R, ...}
 
+**Un-losable protocol**: the headline line (bucketed N=32 train step, the
+shape the production ``fit()`` path actually runs ESOL-sized molecules at)
+is printed and flushed IMMEDIATELY after the first measurement.  Every
+optional row (unbucketed N=64, bf16, batch-256, DimeNet N=96, Pallas) then
+re-prints the whole enriched line as it completes, so the driver's tail
+always holds the most complete result that fit in its timeout — a timeout
+can only truncate enrichment, never lose the record.  A total wall-clock
+budget (``BENCH_BUDGET_S``, default 1200 s) skips remaining optional rows
+when exceeded, recording ``{"skipped": "time budget"}`` for each.
+
 The workload is the reference's headline regression configuration (ESOL,
-SchNet hidden=128, K=5 conformers, batch 24 — ``esol_5_bc.yaml``) on
-synthetic molecules in the N=32 atom bucket that the production bucketed
-``fit()`` path assigns them to: one full jitted train step (forward incl.
-batched FGW barycenters, backward, global-norm clip, Adam update). The
-pre-bucketing N=64 shape is reported alongside for comparison.
+SchNet hidden=128, K=5 conformers, batch 24 — ``esol_5_bc.yaml``,
+reference protocol ``conan_fgw/script/run.sh:22-53``) on synthetic
+molecules: one full jitted train step (forward incl. batched FGW
+barycenters, backward, global-norm clip, Adam update).
 
 ``vs_baseline`` compares conformer-graphs/sec against a reference-style CPU
 implementation (ragged gather/scatter torch with the per-molecule Python FGW
@@ -31,6 +40,12 @@ N_ATOMS_UNBUCKETED = 64  # the pre-bucketing dataset-max padding width
 HEAVY_RANGE = (8, 13)  # ~ESOL-sized molecules once hydrogens are added
 STEPS = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
 
 
 def _records():
@@ -124,66 +139,13 @@ def _measure_subprocess(
     import subprocess
     import sys
 
+    timeout = max(60.0, min(1200.0, _remaining()))
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
          compute_dtype, str(n_atoms), str(int(use_pallas)), backbone],
-        capture_output=True, text=True, check=True, timeout=1800,
+        capture_output=True, text=True, check=True, timeout=timeout,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
-
-
-def measure_tpu_step() -> dict:
-    out = _measure_subprocess(B)
-    # the same molecules padded to the pre-bucketing dataset-max width: the
-    # production fit() path avoids this padding waste via atom-count buckets
-    wide = _measure_subprocess(B, "float32", N_ATOMS_UNBUCKETED)
-    out["unbucketed_n64"] = {
-        "max_atoms": N_ATOMS_UNBUCKETED,
-        "step_s": round(wide["step_s"], 5),
-        "graphs_per_s": round(wide["graphs_per_s"], 1),
-        "bucketing_speedup": round(out["graphs_per_s"] / wide["graphs_per_s"], 2),
-    }
-    # trunk in bfloat16 (params/FGW stay f32): the supported mixed-precision
-    # mode, ~0.6% output deviation, full MXU rate on the cfconv filter MLP
-    bf16 = _measure_subprocess(B, "bfloat16")
-    out["mixed_precision"] = {
-        "compute_dtype": "bfloat16",
-        "step_s": round(bf16["step_s"], 5),
-        "graphs_per_s": round(bf16["graphs_per_s"], 1),
-    }
-    big = _measure_subprocess(256, "bfloat16")
-    out["large_batch"] = {
-        "batch": 256,
-        "compute_dtype": "bfloat16",
-        "step_s": round(big["step_s"], 5),
-        "graphs_per_s": round(big["graphs_per_s"], 1),
-    }
-    # DimeNet at N=96: the neighbor-slot triplet layout (N·M² activations)
-    # is what makes this fit in HBM at all — the dense N³ formulation costs
-    # ~9x more (models/dimenet.py)
-    try:
-        dn = _measure_subprocess(8, "float32", 96, backbone="dimenet")
-        out["dimenet_n96"] = {
-            "batch": 8, "max_atoms": 96,
-            "step_s": round(dn["step_s"], 5),
-            "graphs_per_s": round(dn["graphs_per_s"], 1),
-        }
-    except Exception as e:  # noqa: BLE001
-        out["dimenet_n96"] = {"unavailable": str(e)[:200]}
-    # fused Pallas cfconv (ops/pallas/cfconv.py): measured when the Mosaic
-    # backend is reachable; some tunneled environments proxy compilation
-    # through a service without Mosaic support — record the failure instead
-    # of crashing the bench.
-    try:
-        pallas = _measure_subprocess(B, "float32", N_ATOMS, use_pallas=True)
-        out["pallas_cfconv"] = {
-            "step_s": round(pallas["step_s"], 5),
-            "graphs_per_s": round(pallas["graphs_per_s"], 1),
-            "vs_xla": round(pallas["graphs_per_s"] / out["graphs_per_s"], 3),
-        }
-    except Exception as e:  # noqa: BLE001
-        out["pallas_cfconv"] = {"unavailable": str(e)[:200]}
-    return out
 
 
 def measure_baseline() -> float:
@@ -200,37 +162,122 @@ def measure_baseline() -> float:
     return step_s
 
 
-def main():
-    tpu = measure_tpu_step()
-    try:
-        base_step_s = measure_baseline()
-        base_gps = B * K / base_step_s
-        vs = tpu["graphs_per_s"] / base_gps
-    except Exception as e:  # baseline is best-effort; never break the bench
-        base_gps, vs = None, None
-        print(f"# baseline measurement failed: {e!r}")
+def _emit(headline: dict, detail: dict, vs: float | None, base_gps: float | None) -> None:
+    """Print the full record as one JSON line and flush — called after every
+    completed row so the driver's tail always ends with the best-known state."""
     print(
         json.dumps(
             {
                 "metric": "conformer_graphs_per_sec",
-                "value": round(tpu["graphs_per_s"], 2),
+                "value": round(headline["graphs_per_s"], 2),
                 "unit": "graphs/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
                 "detail": {
-                    "step_s": round(tpu["step_s"], 5),
-                    "compile_s": round(tpu["compile_s"], 1),
+                    "step_s": round(headline["step_s"], 5),
+                    "compile_s": round(headline["compile_s"], 1),
                     "baseline_graphs_per_s": round(base_gps, 2) if base_gps else None,
                     "batch": B, "conformers": K, "max_atoms": N_ATOMS,
-                    "device": tpu["device"],
-                    "unbucketed_n64": tpu.get("unbucketed_n64"),
-                    "mixed_precision": tpu.get("mixed_precision"),
-                    "large_batch": tpu.get("large_batch"),
-                    "dimenet_n96": tpu.get("dimenet_n96"),
-                    "pallas_cfconv": tpu.get("pallas_cfconv"),
+                    "device": headline["device"],
+                    **detail,
                 },
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    detail: dict = {}
+
+    # --- headline first: bucketed N=32 train step; printed before anything else
+    headline = _measure_subprocess(B)
+    _emit(headline, detail, None, None)
+
+    # --- CPU baseline denominator (cached across rounds → usually instant)
+    try:
+        base_step_s = measure_baseline()
+        base_gps = B * K / base_step_s
+        vs = headline["graphs_per_s"] / base_gps
+    except Exception as e:  # baseline is best-effort; never break the bench
+        base_gps, vs = None, None
+        print(f"# baseline measurement failed: {e!r}", flush=True)
+    _emit(headline, detail, vs, base_gps)
+
+    # --- optional enrichment rows, cheapest-first, each within the budget.
+    # A row that doesn't fit records {"skipped": ...}; a row that fails
+    # records {"unavailable": ...}; either way the line is re-emitted.
+    def row(key: str, min_budget_s: float, fn) -> None:
+        if _remaining() < min_budget_s:
+            detail[key] = {"skipped": f"time budget ({_remaining():.0f}s left < {min_budget_s:.0f}s)"}
+        else:
+            try:
+                detail[key] = fn()
+            except Exception as e:  # noqa: BLE001
+                detail[key] = {"unavailable": str(e)[:200]}
+        _emit(headline, detail, vs, base_gps)
+
+    # the same molecules padded to the pre-bucketing dataset-max width: the
+    # production fit() path avoids this padding waste via atom-count buckets
+    def _unbucketed():
+        wide = _measure_subprocess(B, "float32", N_ATOMS_UNBUCKETED)
+        return {
+            "max_atoms": N_ATOMS_UNBUCKETED,
+            "step_s": round(wide["step_s"], 5),
+            "graphs_per_s": round(wide["graphs_per_s"], 1),
+            "bucketing_speedup": round(headline["graphs_per_s"] / wide["graphs_per_s"], 2),
+        }
+
+    row("unbucketed_n64", 120, _unbucketed)
+
+    # trunk in bfloat16 (params/FGW stay f32): the supported mixed-precision
+    # mode, ~0.6% output deviation, full MXU rate on the cfconv filter MLP
+    def _bf16():
+        m = _measure_subprocess(B, "bfloat16")
+        return {
+            "compute_dtype": "bfloat16",
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
+
+    row("mixed_precision", 120, _bf16)
+
+    def _big():
+        m = _measure_subprocess(256, "bfloat16")
+        return {
+            "batch": 256,
+            "compute_dtype": "bfloat16",
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
+
+    row("large_batch", 150, _big)
+
+    # fused Pallas cfconv (ops/pallas/cfconv.py): measured when the Mosaic
+    # backend is reachable; some tunneled environments proxy compilation
+    # through a service without Mosaic support — record the failure instead
+    # of crashing the bench.
+    def _pallas():
+        m = _measure_subprocess(B, "float32", N_ATOMS, use_pallas=True)
+        return {
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "vs_xla": round(m["graphs_per_s"] / headline["graphs_per_s"], 3),
+        }
+
+    row("pallas_cfconv", 120, _pallas)
+
+    # DimeNet at N=96: the neighbor-slot triplet layout (N·M² activations)
+    # is what makes this fit in HBM at all — the dense N³ formulation costs
+    # ~9x more (models/dimenet.py). Heaviest compile → last.
+    def _dimenet():
+        m = _measure_subprocess(8, "float32", 96, backbone="dimenet")
+        return {
+            "batch": 8, "max_atoms": 96,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
+
+    row("dimenet_n96", 240, _dimenet)
 
 
 if __name__ == "__main__":

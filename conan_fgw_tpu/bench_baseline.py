@@ -25,18 +25,21 @@ import torch.nn.functional as F
 
 
 def _radius_edges(pos: np.ndarray, cutoff: float = 10.0, cap: int = 32):
+    """torch-cluster ``radius_graph(r, max_num_neighbors=cap)`` semantics:
+    per target, the first ``cap+1`` in-range candidates in index order
+    *including self*, then the self-loop dropped (so a late-indexed node can
+    keep ``cap+1`` true neighbors). PyG queries radius() with cap+1 and masks
+    self-loops afterwards — replicated exactly (the TPU ``radius_graph_mask``
+    "index" mode implements the same rule densely)."""
     n = pos.shape[0]
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     src, dst = [], []
     for i in range(n):
-        cnt = 0
-        for j in range(n):
-            if j != i and d[i, j] <= cutoff:
-                src.append(j)
+        cand = np.nonzero(d[i] <= cutoff)[0][: cap + 1]
+        for j in cand:
+            if j != i:
+                src.append(int(j))
                 dst.append(i)
-                cnt += 1
-                if cnt >= cap:
-                    break
     return np.asarray([src, dst], np.int64), d
 
 
@@ -103,6 +106,13 @@ class _TorchGATRef(nn.Module):
 
 
 class _GATConvRef(nn.Module):
+    """PyG ``GATConv(edge_dim=E, add_self_loops=True)`` semantics, ragged:
+    self-loops appended with the *mean of each node's incoming edges'*
+    attributes (``fill_value='mean'``), logits
+    ``leaky_relu(a_src·Wx_j + a_dst·Wx_i + a_edge·We_ij, 0.2)`` softmaxed per
+    target in-neighborhood, bias added after aggregation — the exact rules
+    the dense TPU ``DenseGATConv`` implements (models/gat.py)."""
+
     def __init__(self, in_dim, out, edge_dim):
         super().__init__()
         self.lin = nn.Linear(in_dim, out, bias=False)
@@ -110,23 +120,34 @@ class _GATConvRef(nn.Module):
         self.a_src = nn.Parameter(torch.randn(out) * 0.1)
         self.a_dst = nn.Parameter(torch.randn(out) * 0.1)
         self.a_edge = nn.Parameter(torch.randn(out) * 0.1)
+        self.bias = nn.Parameter(torch.zeros(out))
 
     def forward(self, x, edge_index, edge_attr):
+        n = x.shape[0]
         src, dst = edge_index
+        # add_self_loops(fill_value='mean'): loop attr = mean of incoming attrs
+        loop_attr = torch.zeros(n, edge_attr.shape[1])
+        loop_attr.index_add_(0, dst, edge_attr)
+        deg = torch.zeros(n).index_add_(0, dst, torch.ones(dst.shape[0]))
+        loop_attr = loop_attr / deg.clamp(min=1.0)[:, None]
+        loops = torch.arange(n)
+        src = torch.cat([src, loops])
+        dst = torch.cat([dst, loops])
+        ea = torch.cat([edge_attr, loop_attr], 0)
+
         xs = self.lin(x)
-        ea = self.lin_e(edge_attr)
+        ep = self.lin_e(ea)
         logit = F.leaky_relu(
-            xs[src] @ self.a_src + xs[dst] @ self.a_dst + ea @ self.a_edge, 0.2
+            xs[src] @ self.a_src + xs[dst] @ self.a_dst + ep @ self.a_edge, 0.2
         )
         # segment softmax over incoming edges
-        n = x.shape[0]
         m = torch.full((n,), -1e30)
         m = m.scatter_reduce(0, dst, logit, reduce="amax")
         e = torch.exp(logit - m[dst])
         denom = torch.zeros(n).index_add_(0, dst, e) + 1e-16
         alpha = e / denom[dst]
         out = torch.zeros_like(xs).index_add_(0, dst, alpha[:, None] * xs[src])
-        return out
+        return out + self.bias
 
 
 def _sinkhorn_log_t(p, q, cost, eps, iters=5, thr=1e-2):

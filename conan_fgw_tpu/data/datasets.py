@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import csv
 import os
-import random
+import zlib
 from typing import Sequence
 
 import numpy as np
@@ -20,6 +20,22 @@ import numpy as np
 from conan_fgw_tpu.data import conformers as conf_lib
 from conan_fgw_tpu.data import smiles as smi
 from conan_fgw_tpu.data.packing import MoleculeRecord
+
+
+def resample_rng(seed: int, epoch: int, mol_id: str, trial: int = 0) -> np.random.Generator:
+    """Deterministic per-(seed, epoch, molecule) generator for K-subset
+    conformer resampling. The reference resamples via the global ``random``
+    module (``generators.py:25-34``); here the draw must be reproducible AND
+    identical on every host — multi-host DP assembles each global batch from
+    all hosts' locally-packed rows, so an unseeded draw would silently mix
+    different hosts' conformer subsets into one batch."""
+    return np.random.default_rng([seed, epoch, zlib.crc32(mol_id.encode()), trial])
+
+
+def draw_k_subset(rng: np.random.Generator, available: int, k: int) -> np.ndarray:
+    """K indices from ``available`` stores: with replacement when k > available
+    (the reference's ``random.choices``), without otherwise (``random.sample``)."""
+    return rng.choice(available, size=k, replace=k > available)
 
 
 def read_csv_rows(path: str, target: str):
@@ -55,6 +71,7 @@ class ConformerDataset:
         prune_conformers: bool = False,
         resample: bool = True,
         cache_stores: bool = True,
+        resample_seed: int = 1,
     ):
         self.mode = mode
         self.num_conformers = num_conformers
@@ -72,7 +89,14 @@ class ConformerDataset:
         # disk read. Disable for GEOM-Drugs-scale stores.
         self.cache_stores = cache_stores
         self._store_cache: dict[str, np.ndarray] = {}
+        self.resample_seed = resample_seed
+        self._epoch = 0
         os.makedirs(self.conformers_dir, exist_ok=True)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the resampling epoch: the next ``records()`` draws a fresh
+        (but deterministic, host-identical) K-subset per molecule."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.rows)
@@ -104,11 +128,8 @@ class ConformerDataset:
         positions = self._positions(row)
         k = self.num_conformers
         if self.resample and positions.shape[0] != k:
-            if k > positions.shape[0]:
-                sel = random.choices(range(positions.shape[0]), k=k)
-            else:
-                sel = random.sample(range(positions.shape[0]), k=k)
-            positions = positions[sel]
+            rng = resample_rng(self.resample_seed, self._epoch, row["mol_id"])
+            positions = positions[draw_k_subset(rng, positions.shape[0], k)]
         else:
             positions = positions[:k]
         n = z.shape[0]
@@ -140,12 +161,10 @@ class NTrialsConformerDataset(ConformerDataset):
         x2d, bonds, battr, z = self._features(row["smiles"])
         positions = self._positions(row)
         out = []
-        for _ in range(self.n_trials):
+        for trial in range(self.n_trials):
             k = self.num_conformers
-            if k > positions.shape[0]:
-                sel = random.choices(range(positions.shape[0]), k=k)
-            else:
-                sel = random.sample(range(positions.shape[0]), k=k)
+            rng = resample_rng(self.resample_seed, self._epoch, row["mol_id"], trial)
+            sel = draw_k_subset(rng, positions.shape[0], k)
             out.append(
                 MoleculeRecord(
                     z=z, pos=positions[sel].astype(np.float32), x2d=x2d, bonds=bonds,

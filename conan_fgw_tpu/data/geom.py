@@ -13,13 +13,12 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import random
 
 import numpy as np
 
 from conan_fgw_tpu.data import conformers as conf_lib
 from conan_fgw_tpu.data import smiles as smi
-from conan_fgw_tpu.data.datasets import read_csv_rows
+from conan_fgw_tpu.data.datasets import read_csv_rows, draw_k_subset, resample_rng
 from conan_fgw_tpu.data.packing import MoleculeRecord
 
 
@@ -66,6 +65,7 @@ class GEOMDataset:
         target: str,
         num_conformers: int,
         npz_subdir: str = "conformers_npz",
+        resample_seed: int = 1,
     ):
         self.data_dir = data_dir
         self.dataset_dir = os.path.join(data_dir, dataset_name)
@@ -79,6 +79,13 @@ class GEOMDataset:
             with open(summary_path) as f:
                 self.summary = json.load(f)
         self._feature_cache: dict[str, tuple] = {}
+        self.resample_seed = resample_seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fresh deterministic, host-identical K-subset draw per epoch (see
+        ``datasets.resample_rng``)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.rows)
@@ -108,11 +115,8 @@ class GEOMDataset:
         k = self.num_conformers
         avail = positions.shape[0]
         if avail != k:
-            if k > avail:
-                sel = random.choices(range(avail), k=k)
-            else:
-                sel = random.sample(range(avail), k=k)
-            positions = positions[sel]
+            rng = resample_rng(self.resample_seed, self._epoch, row["mol_id"])
+            positions = positions[draw_k_subset(rng, avail, k)]
         if positions.shape[1] != z.shape[0]:
             raise ValueError(
                 f"GEOM store for {smiles!r}: {positions.shape[1]} atoms vs "

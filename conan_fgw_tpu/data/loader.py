@@ -87,6 +87,20 @@ def bucketed_batches(
             yield pack(g[s : s + batch_size], max_atoms=b, batch_size=batch_size)
 
 
+def bucket_order(records: Sequence[MoleculeRecord], buckets=None) -> list[int]:
+    """The record permutation ``bucketed_batches(shuffle=False)`` emits:
+    groups in first-seen bucket order, records in input order within each.
+    Callers that align per-record outputs (predictions, embeddings) with
+    their input records must reindex through this."""
+    from conan_fgw_tpu.data.packing import DEFAULT_BUCKETS, bucket_for
+
+    buckets = buckets or DEFAULT_BUCKETS
+    groups: dict[int, list[int]] = {}
+    for i, r in enumerate(records):
+        groups.setdefault(bucket_for(r.num_atoms, buckets), []).append(i)
+    return [i for b in groups for i in groups[b]]
+
+
 class Prefetcher:
     """Wrap a batch iterator with an N-deep background prefetch queue."""
 

@@ -39,9 +39,17 @@ def initialize_distributed(**kwargs) -> None:
     ):
         if kw not in kwargs and env.get(var):
             kwargs[kw] = cast(env[var])
+    # explicit multi-process topology must not silently fall back to N
+    # independent single-process runs sharing checkpoint/log paths: a real
+    # init failure (bad coordinator address, port clash) is fatal then. The
+    # lenient path stays for auto-detect/single-host/already-initialised.
+    explicit_multi = int(kwargs.get("num_processes") or 0) > 1
     try:
         jax.distributed.initialize(**kwargs)
     except Exception as e:  # already initialised or single-process
+        already = getattr(jax.distributed, "is_initialized", lambda: False)()
+        if explicit_multi and not already:
+            raise
         log.warning("jax.distributed.initialize skipped: %s", e)
 
 
@@ -65,12 +73,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def _local_row_block(sh: NamedSharding, shape) -> tuple[int, int]:
     """[start, stop) of the leading-axis rows owned by this process's devices
     (contiguous for a 1-D ``data`` mesh in device order)."""
-    starts, stops = [], []
+    starts, stops, total = [], [], 0
     for idx in sh.addressable_devices_indices_map(tuple(shape)).values():
         s = idx[0]
-        starts.append(s.start or 0)
-        stops.append(shape[0] if s.stop is None else s.stop)
-    return min(starts), max(stops)
+        start = s.start or 0
+        stop = shape[0] if s.stop is None else s.stop
+        starts.append(start)
+        stops.append(stop)
+        total += stop - start
+    lo, hi = min(starts), max(stops)
+    if total != hi - lo:
+        # with a non-default device ordering this process's shards could
+        # interleave with another host's; slicing [lo:hi] would then hand
+        # make_array_from_process_local_data rows this process does not own
+        raise ValueError(
+            f"process-local leading-axis shards are not contiguous: rows "
+            f"[{lo}, {hi}) cover {hi - lo} rows but this process owns {total} "
+            "— reorder the mesh so each process's devices form one block"
+        )
+    return lo, hi
 
 
 def shard_batch(batch_dict, mesh: Mesh):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import atexit
 import json
+import logging
 import os
 import threading
 from typing import Any
@@ -21,6 +22,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("conan_fgw_tpu")
 
 
 def jnp_copy(x):
@@ -98,7 +101,9 @@ class RunCheckpointer:
     cost seconds per epoch over a tunneled TPU — overlap the next epoch's
     compute. The device copy means donated train-step buffers are never
     aliased by an in-flight save. ``flush()`` (called automatically by every
-    restore/has and at interpreter exit) drains the queue.
+    restore and at interpreter exit) drains the queue and re-raises writer
+    errors; ``has()`` only drains — a pure query never raises for an earlier
+    unrelated save.
 
     Pending saves are **coalesced by checkpoint name**: when the training
     loop produces saves faster than the writer can fetch+write them (0.6s
@@ -150,7 +155,8 @@ class RunCheckpointer:
             try:
                 for fn, args in steps:
                     fn(*args)
-            except BaseException as e:  # surfaced on the next flush()
+            except BaseException as e:  # logged now; re-raised by flush()
+                log.error("checkpoint write %r failed: %s", key, e)
                 self._write_error = e
             finally:
                 with self._cond:
@@ -173,12 +179,21 @@ class RunCheckpointer:
             self._pending[key] = steps  # coalesce: newest save wins
             self._cond.notify_all()
 
-    def flush(self):
-        """Block until all queued saves hit disk; re-raise any writer error."""
+    def _drain(self):
+        """Block until all queued saves finish (success or logged failure)."""
         if self._async and self._writer is not None and self._writer.is_alive():
             with self._cond:
                 while self._pending or self._busy:
                     self._cond.wait()
+
+    def flush(self):
+        """Block until all queued saves hit disk; re-raise any writer error.
+
+        Called by every restore (a failed save must not be silently read
+        around) and at interpreter exit. ``has()`` only drains: a pure
+        existence query should not raise for an unrelated earlier save —
+        the error was logged when it happened and still surfaces here."""
+        self._drain()
         if self._write_error is not None:
             err, self._write_error = self._write_error, None
             raise err
@@ -266,7 +281,7 @@ class RunCheckpointer:
         return _restore_pytree(os.path.join(self.directory, which), template)
 
     def has(self, which: str = "best") -> bool:
-        self.flush()
+        self._drain()
         if self.backend == "orbax":
             return os.path.exists(os.path.join(self.directory, f"{which}.orbax"))
         return os.path.exists(os.path.join(self.directory, f"{which}.npz"))

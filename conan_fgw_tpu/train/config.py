@@ -54,6 +54,21 @@ EXPERIMENTS: dict[str, ExperimentSpec] = {
     "regression_bc": ExperimentSpec("regression", True),
     "classification": ExperimentSpec("classification", False),
     "classification_bc": ExperimentSpec("classification", True),
+    # aux-head families (the reference reaches these through its model
+    # registry, common.py:469-547 + baseline/schnet_based heads); each maps
+    # to a head in models/aux_heads.py via runner.build_model
+    "gat_only": ExperimentSpec("regression", False, model="gat_only"),
+    "scalars": ExperimentSpec("regression", False, model="scalars"),
+    "embeddings": ExperimentSpec("regression", False, model="embeddings"),
+    "covalent": ExperimentSpec("regression", False, model="covalent"),
+    "attention": ExperimentSpec("regression", False, model="attention"),
+    "esan_avg_conf": ExperimentSpec("regression", False, model="esan:avg_conf_esan"),
+    "esan_geometry": ExperimentSpec(
+        "regression", False, model="esan:geometry_induced_esan"
+    ),
+    "esan_geometry_2d": ExperimentSpec(
+        "regression", False, model="esan:geometry_2d_induced_esan"
+    ),
 }
 
 
@@ -78,6 +93,11 @@ class ExperimentConfig:
     agg_weight: float = 0.2
     max_iter: int = 100  # NOTE: the reference hardcodes 5 in the hot path
     epsilon: float = 0.1
+    # opt-in: thread the YAML's max_iter/epsilon into the FGW solver. The
+    # reference never does — its values are swallowed before reaching
+    # _compute_barycenter (schnet_no_sum.py:294-300, SURVEY §5 config trap) —
+    # so False (the hardcoded 5/5/5, eps=0.1 parity behaviour) is the default.
+    fgw_from_config: bool = False
     trade_off: bool = False
     model_name: str = "schnet"
     # TPU-native extensions

@@ -221,12 +221,16 @@ def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int
         # every host (the reference's DDP all_gather, common.py:307-333,
         # generalised). Masks/labels are host-side copies of the global batch
         # every process already packed — no cross-host concat needed.
+        # Batched fetch: every eval batch has the same padded (batch_size, 1)
+        # prediction shape, so the whole split is stacked on device and
+        # gathered in O(1) collective rounds — not one blocking
+        # process_allgather per batch (a real bottleneck on GEOM-sized splits).
         from conan_fgw_tpu.parallel import collectives
 
-        fetched = [
-            (collectives.gather_to_host(l), collectives.gather_to_host(p), d)
-            for l, p, d in device_out
-        ]
+        losses_h = collectives.gather_to_host(jnp.stack([l for l, _, _ in device_out]))
+        preds_h = collectives.gather_to_host(jnp.stack([p for _, p, _ in device_out]))
+        divs_h = collectives.gather_to_host(jnp.stack([d for _, _, d in device_out]))
+        fetched = list(zip(losses_h, preds_h, divs_h))
     else:
         fetched = jax.device_get(device_out)
     preds = [np.asarray(p).reshape(-1)[v] for (_, p, _), v in zip(fetched, valids)]
@@ -252,6 +256,19 @@ def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int
             )
             out.update({"auroc": 0.5, "prc": 0.5})
     return out, pred, y
+
+
+def _call_provider(provider: Callable, epoch: int):
+    """Invoke a per-epoch records provider, passing the epoch when its
+    signature accepts one (so datasets can key conformer resampling on it —
+    deterministic and host-identical, see ``data.datasets.resample_rng``)."""
+    import inspect
+
+    try:
+        takes_epoch = bool(inspect.signature(provider).parameters)
+    except (TypeError, ValueError):
+        takes_epoch = False
+    return provider(epoch) if takes_epoch else provider()
 
 
 @dataclasses.dataclass
@@ -285,7 +302,9 @@ def fit(
     epoch boundary (optimiser + schedule state included) — the rebuild's
     fault-tolerance story (SURVEY §5: driver restarts + checkpoint resume).
     """
-    epoch_records = train_records() if callable(train_records) else train_records
+    epoch_records = (
+        _call_provider(train_records, 0) if callable(train_records) else train_records
+    )
     max_atoms = settings.max_atoms or dataset_max_atoms(list(epoch_records) + list(val_records))
     first = next(
         iter(
@@ -325,8 +344,10 @@ def fit(
 
     for epoch in range(start_epoch, settings.num_epochs):
         t0 = time.time()
-        if epoch > start_epoch and callable(train_records):
-            epoch_records = train_records()  # fresh K-subset of conformers
+        if epoch != 0 and callable(train_records):
+            # fresh K-subset of conformers, keyed on the epoch (so a resumed
+            # run reproduces any epoch's draw without replaying the stream)
+            epoch_records = _call_provider(train_records, epoch)
         train_losses = []
         train_divs = []
         # data order keyed on (seed, epoch): resume reproduces the order of

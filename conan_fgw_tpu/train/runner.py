@@ -34,16 +34,50 @@ STAGE_PRE = "conan_fgw_pre"
 STAGE_BC = "conan_fgw"
 
 
-def build_model(config: ExperimentConfig, stage: str) -> ConanModel:
+def build_aux_model(spec_model: str, hidden: int):
+    """Non-conan head families (``ExperimentSpec.model``): the reference's
+    GAT-only / baseline heads (``src/model/baseline_models.py:6-17``,
+    ``schnet_based_models.py:48-81,420-474,495-533``) and ESAN variants."""
+    from conan_fgw_tpu.models import aux_heads
+
+    if spec_model.startswith("esan:"):
+        return aux_heads.ESANAggregation(
+            variant=spec_model.split(":", 1)[1], hidden_channels=hidden
+        )
+    heads = {
+        "gat_only": aux_heads.EmbeddingsWithGAT,
+        "scalars": aux_heads.ScalarsAggregation,
+        "embeddings": aux_heads.EmbeddingsAggregation,
+        "covalent": aux_heads.CovalentEmbeddingsAggregation,
+        "attention": aux_heads.AttentionEmbeddingsAggregation,
+    }
+    try:
+        return heads[spec_model](hidden_channels=hidden)
+    except KeyError:
+        raise ValueError(
+            f"unknown experiment model family {spec_model!r}; "
+            f"known: conan, esan:<variant>, {sorted(heads)}"
+        )
+
+
+def build_model(config: ExperimentConfig, stage: str):
     spec = config.spec
     hidden = 512 if spec.task == "classification" else 128
+    if spec.model != "conan":
+        return build_aux_model(spec.model, hidden)
+    if config.fgw_from_config:
+        # opt-in honor-config mode: the YAML's max_iter/epsilon actually
+        # reach the solver (outer barycenter iterations + entropic epsilon)
+        fgw = FGWConfig(outer_iters=config.max_iter, epsilon=config.epsilon)
+    else:
+        # parity default: the reference hardcodes 5/5/5 iterations and
+        # epsilon=0.1 regardless of the YAML (schnet_no_sum.py:294-300)
+        fgw = FGWConfig()
     common = dict(
         task=spec.task,
         hidden_channels=hidden,
         agg_weight=config.agg_weight,
-        # parity default: the reference hardcodes 5/5/5 iterations and
-        # epsilon=0.1 regardless of the YAML (schnet_no_sum.py:294-300)
-        fgw=FGWConfig(),
+        fgw=fgw,
         bary_pad_mode=config.bary_pad_mode,
         use_pallas_cfconv=config.use_pallas_cfconv,
         compute_dtype=config.compute_dtype,
@@ -145,10 +179,15 @@ def run_experiment(
         else:
             ds = load_datasets(config, data_dir)
             datasets = {m: ds[m].records() for m in ("train", "valid", "test")}
+
             # stores holding more than K conformers re-draw the K-subset every
             # epoch, matching the reference's per-__getitem__ resampling
-            # (conan_fgw/src/data/datasets.py:150-168)
-            train_provider = ds["train"].records
+            # (conan_fgw/src/data/datasets.py:150-168) — keyed on the epoch so
+            # every host draws the identical subset (multi-host batches are
+            # assembled from all hosts' locally-packed rows)
+            def train_provider(epoch: int):
+                ds["train"].set_epoch(epoch)
+                return ds["train"].records()
 
     import jax
 

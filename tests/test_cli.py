@@ -75,15 +75,17 @@ class TestRunnerCLIMultiDevice:
 
 class TestPerEpochResampling:
     def test_two_epochs_see_different_conformers(self, tmp_path):
-        """With a store holding more conformers than K, successive records()
-        snapshots draw different K-subsets (reference per-__getitem__
-        sampling, datasets.py:150-168)."""
+        """With a store holding more conformers than K, successive epochs
+        draw different K-subsets (reference per-__getitem__ sampling,
+        datasets.py:150-168 — here keyed on set_epoch so every host draws
+        identically)."""
         _write_dataset(str(tmp_path))
         ds = ConformerDataset(
             "train", str(tmp_path / "data"), "mini", "target",
             num_conformers=2, store_conformers=6,
         )
         a = ds.records()
+        ds.set_epoch(1)
         b = ds.records()
         # identical atoms/features, but at least one molecule's conformer
         # subset differs between the two epochs

@@ -122,6 +122,27 @@ class TestPacking:
         ds2 = ConformerDataset("train", str(tmp_path), "mini", "target", 3)
         np.testing.assert_array_equal(ds2[0].z, recs[0].z)
 
+    def test_resampling_deterministic_across_instances(self, tmp_path):
+        """K-subset conformer resampling must be identical for independently
+        constructed dataset instances at the same epoch (multi-host DP packs
+        the same global batch on every host) and fresh across epochs."""
+        from conan_fgw_tpu.data.datasets import ConformerDataset, write_csv
+
+        rows = [{"smiles": "CCO", "y": 1.0, "mol_id": "a"}]
+        write_csv(str(tmp_path / "mini" / "train.csv"), rows, target="target")
+        # store holds 6 conformers, dataset draws K=3 → real subset choice
+        ConformerDataset(
+            "train", str(tmp_path), "mini", "target", 6, store_conformers=6
+        ).records()
+        a = ConformerDataset("train", str(tmp_path), "mini", "target", 3)
+        b = ConformerDataset("train", str(tmp_path), "mini", "target", 3)
+        np.testing.assert_array_equal(a[0].pos, b[0].pos)  # same epoch → same draw
+        a.set_epoch(1)
+        e1 = a[0].pos
+        assert not np.array_equal(e1, b[0].pos)  # new epoch → fresh subset
+        b.set_epoch(1)
+        np.testing.assert_array_equal(e1, b[0].pos)  # still host-identical
+
 
 class TestBDEDataset:
     """BDE protocol (reference datasets.py:223-260): stores must pre-exist,

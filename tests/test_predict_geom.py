@@ -78,9 +78,34 @@ class TestPredict:
             num_epochs=1, batch_size=4, max_atoms=32, use_barycenter=False
         )
         result = loop_lib.fit(model, settings, recs, recs[:4])
-        pred, y = predict_records(model, result.state.params, recs, settings, 32)
+        ordered, pred, y = predict_records(model, result.state.params, recs, settings, 32)
         assert pred.shape == (10,) and y.shape == (10,)
-        np.testing.assert_allclose(y, [r.y for r in recs], rtol=1e-6)
+        np.testing.assert_allclose(y, [r.y for r in ordered], rtol=1e-6)
+
+    def test_predict_alignment_across_buckets(self):
+        """Bucketed eval reorders molecules by padded size; the returned
+        record list must follow the same permutation so (record, pred, y)
+        rows stay aligned (the bug: zipping against the input order)."""
+        from conan_fgw_tpu.data.synthetic import random_dataset
+        from conan_fgw_tpu.models.heads import ConanModel
+        from conan_fgw_tpu.train import loop as loop_lib
+        from conan_fgw_tpu.train.predict import predict_records
+
+        # interleave small (bucket 32) and large (bucket 64) molecules
+        small = random_dataset(3, 5, num_conformers=2, heavy_range=(4, 6))
+        large = random_dataset(4, 5, num_conformers=2, heavy_range=(26, 30))
+        assert all(r.num_atoms > 32 for r in large)  # really in bucket 64
+        recs = [r for pair in zip(small, large) for r in pair]
+        for i, r in enumerate(recs):
+            r.y = float(i)  # distinct labels → alignment is observable
+        model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
+        settings = loop_lib.TrainSettings(num_epochs=1, batch_size=4, max_atoms=64)
+        result = loop_lib.fit(model, settings, recs, recs[:4])
+        ordered, pred, y = predict_records(model, result.state.params, recs, settings, 64)
+        assert len(ordered) == len(recs) and pred.shape == (10,)
+        # labels follow the reordered records, not the input order
+        np.testing.assert_allclose(y, [r.y for r in ordered], rtol=1e-6)
+        assert [r.y for r in ordered] != [r.y for r in recs]
 
     def test_predict_cli(self, tmp_path):
         """Full CLI: runner trains on a tiny on-disk dataset, predict restores
@@ -109,14 +134,24 @@ class TestPredict:
             "--metrics_dir", str(tmp_path / "metrics"),
         ])
         out = tmp_path / "preds.csv"
+        emb = tmp_path / "emb.npz"
         predict_cli.main([
             "--config", str(cfg),
             "--checkpoint", str(tmp_path / "models" / "p" / "1" / "run_conan_fgw_pre:0"),
             "--data_root", str(tmp_path), "--split", "test", "--out", str(out),
+            "--embeddings", str(emb),
         ])
         lines = out.read_text().strip().splitlines()
         assert lines[0] == "mol_id,smiles,prediction,target"
         assert len(lines) == 2  # header + 1 test molecule
+        # embeddings export: the reference's visualization workflow
+        # (schnet_based_models.py:372-417) — per-branch pre-fusion embeddings
+        with np.load(emb, allow_pickle=False) as z:
+            assert z["x3d"].shape[:2] == (1, 2)  # (molecules, K, C)
+            assert z["x_bary"].shape[0] == 1 and z["x_cov"].shape[0] == 1
+            assert z["x3d"].shape[2] == z["x_bary"].shape[1] == z["x_cov"].shape[1]
+            assert np.isfinite(z["x_bary"]).all()
+            assert list(z["mol_id"]) == ["g5"]
 
 
 class _FakeConf:
