@@ -237,6 +237,101 @@ SOL250_SMILES = [
     "Nc1ncnc2[nH]cnc12",  # adenine
 ]
 
+# --- sol1k: programmatic enumeration on top of the curated sol250 list -------
+
+_S1K_SUBS = [
+    "O", "N", "F", "Cl", "Br", "C#N", "C=O", "C(C)=O", "C(O)=O",
+    "OC", "CO", "N(C)C", "NC", "S", "SC", "OC(C)=O", "C(N)=O",
+]
+# substituents writable in SMILES prefix form (for para-aromatic patterns)
+_S1K_PREFIX = {
+    "O": "O", "N": "N", "F": "F", "Cl": "Cl", "Br": "Br",
+    "C": "C", "OC": "CO", "C#N": "N#C", "C=O": "O=C",
+}
+_S1K_DI = ["O", "N", "Cl", "C#N", "C(O)=O"]
+
+
+def _graph_key(smiles: str):
+    """Dedupe key: 4 rounds of WL refinement over the H-added molecular graph
+    (atomic number, aromaticity, bond orders). Symmetric rewritings of the
+    same molecule (``CC(O)CC`` vs ``CCC(O)C``) collapse to one key; WL is only
+    a near-canonical invariant, but at these sizes collisions are negligible
+    and a collision merely drops one enumerated molecule."""
+    mol = smi.add_hydrogens(smi.parse_smiles(smiles))
+    lab = [hash((a.z, a.aromatic)) & 0xFFFFFFFF for a in mol.atoms]
+    for _ in range(4):
+        lab = [
+            hash((lab[i], tuple(sorted((lab[j], b.order) for j, b in mol.neighbors(i)))))
+            & 0xFFFFFFFF
+            for i in range(len(mol.atoms))
+        ]
+    return hash(tuple(sorted(lab)))
+
+
+def enumerate_sol1k() -> list:
+    """~1.1-1.3k unique molecules: the sol250 list plus a scaffold ×
+    substituent × position grid over alkane chains, saturated rings, and
+    (hetero)aromatic cores. Entries the built-in parser/embedder rejects are
+    dropped downstream by ``surrogate_logS``; WL-duplicate rewritings are
+    removed here so the scaffold splitter sees each molecule once."""
+    raw = list(SOL250_SMILES)
+    # mono-substituted chains, every attachment position
+    for n in range(2, 9):
+        for i in range(1, n):
+            for s in _S1K_SUBS:
+                raw.append("C" * i + f"({s})" + "C" * (n - i))
+    # di-substituted chains, distinct positions, polar/halogen set
+    for n in range(3, 7):
+        for i in range(1, n):
+            for j in range(i + 1, n):
+                for si in _S1K_DI:
+                    for sj in _S1K_DI:
+                        raw.append(
+                            "C" * i + f"({si})" + "C" * (j - i) + f"({sj})" + "C" * (n - j)
+                        )
+    # mono-substituted (hetero)aromatic and saturated cores, branch position
+    for core_pre, core_post in [
+        ("c1ccc(", ")cc1"),      # benzene
+        ("c1ccnc(", ")c1"),      # pyridine (2-sub)
+        ("c1ccc(", ")nc1"),      # pyridine (3-sub)
+        ("c1coc(", ")c1"),       # furan
+        ("c1csc(", ")c1"),       # thiophene
+        ("c1cc(", ")[nH]c1"),    # pyrrole
+        ("C1CCC(", ")CC1"),      # cyclohexane
+        ("C1CC(", ")C1"),        # cyclobutane
+        ("C1CCOC(", ")C1"),      # tetrahydropyran
+        ("C1CCN(", ")CC1"),      # piperidine (N-sub)
+    ]:
+        for s in _S1K_SUBS:
+            raw.append(core_pre + s + core_post)
+    # di-substituted benzenes: ortho / meta (branch-branch), para (prefix-branch)
+    for a in _S1K_DI:
+        for b in _S1K_DI:
+            raw.append(f"c1ccc({a})c({b})c1")   # ortho
+            raw.append(f"c1cc({a})cc({b})c1")   # meta
+    for pa, pre in _S1K_PREFIX.items():
+        for b in _S1K_SUBS:
+            raw.append(f"{pre}c1ccc({b})cc1")   # para
+    # naphthalene / indole / benzofuran mono-substitutions
+    for pre, post in [
+        ("c1ccc2ccc(", ")cc2c1"),    # 2-substituted naphthalene
+        ("c1ccc2[nH]c(", ")cc2c1"),  # 2-substituted indole
+        ("c1ccc2oc(", ")cc2c1"),     # 2-substituted benzofuran
+    ]:
+        for s in _S1K_DI + ["C", "OC"]:
+            raw.append(pre + s + post)
+    out, seen = [], set()
+    for s in raw:
+        try:
+            key = _graph_key(s)
+        except Exception:  # noqa: BLE001 — parser rejects; surrogate would too
+            continue
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(s)
+    return out
+
 
 def _heavy_stats(smiles: str):
     mol = smi.parse_smiles(smiles)
@@ -299,12 +394,14 @@ def _split_and_write(rows, dataset_dir, target_name, store_conformers, workers, 
 
 
 def prepare_builtin(name, data_root, store_conformers, workers):
-    assert name == "sol250", f"unknown builtin dataset {name!r}"
+    sources = {"sol250": lambda: SOL250_SMILES, "sol1k": enumerate_sol1k}
+    assert name in sources, f"unknown builtin dataset {name!r}"
+    smiles_source = sources[name]()
     dataset_dir = os.path.join(data_root, "data", name)
     os.makedirs(dataset_dir, exist_ok=True)
     rows, dropped = [], []
     seen = set()
-    for i, s in enumerate(SOL250_SMILES):
+    for i, s in enumerate(smiles_source):
         if s in seen:
             continue
         seen.add(s)
@@ -313,7 +410,7 @@ def prepare_builtin(name, data_root, store_conformers, workers):
         except Exception as e:  # noqa: BLE001 — parser/embedder coverage filter
             dropped.append((s, repr(e)))
             continue
-        rows.append({"smiles": s, "y": y, "mol_id": f"sol{i:04d}"})
+        rows.append({"smiles": s, "y": y, "mol_id": f"{name}_{i:04d}"})
     print(f"sol250: {len(rows)} molecules ({len(dropped)} dropped)")
     for s, err in dropped:
         print(f"  DROPPED {s}: {err}")
@@ -380,7 +477,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--download", choices=sorted(DOWNLOADS))
-    g.add_argument("--builtin", choices=["sol250"])
+    g.add_argument("--builtin", choices=["sol250", "sol1k"])
     ap.add_argument("--data_root", default=".")
     ap.add_argument(
         "--store_conformers", type=int, default=10,
