@@ -58,6 +58,17 @@ class TrainSettings:
     # micro-batch accumulation (the reference defines but never registers its
     # GradientAccumulationScheduler; off by default for parity)
     accumulate_steps: int = 1
+    # dispatch-amortised training: runs of same-shape batches are stacked and
+    # executed as ONE ``lax.scan`` of this many train steps per device
+    # dispatch. Same step order and math as the per-step path (the scan body
+    # IS the train step) — numerically equivalent, though XLA may schedule
+    # the scanned body with float-rounding differences at some weight values,
+    # so scan_chunk=0 is the bit-exactness/parity mode. Removes per-step
+    # host→device dispatch latency, which dominates wall time on remote/
+    # tunneled TPUs (~70ms dispatch vs ~4ms device compute at the sol250
+    # protocol shapes). 0/1 disables; single-process only (mesh/multi-host
+    # runs always use the per-step path).
+    scan_chunk: int = 8
 
 
 class TrainState(train_state.TrainState):
@@ -189,6 +200,34 @@ def make_step_fns(model, settings: TrainSettings):
     return train_step, eval_step
 
 
+def make_multi_step(model, settings: TrainSettings):
+    """``multi_step(state, batches) -> (state, losses, n_divs)``: a
+    ``lax.scan`` of the train step over a stacked batch (leading axis =
+    steps). One device dispatch per chunk instead of per step; the scan body
+    is exactly the single-step computation, so step order and math are
+    unchanged (see ``TrainSettings.scan_chunk`` for the compiler-rounding
+    caveat)."""
+    loss_fn = make_loss_fn(model, settings)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches: PackedBatch):
+        def body(st, batch):
+            (loss, (_, n_div)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params, batch
+            )
+            return st.apply_gradients(grads=grads), (loss, n_div)
+
+        state, (losses, divs) = jax.lax.scan(body, state, batches)
+        return state, losses, divs
+
+    return multi_step
+
+
+def _stack_batches(pbs: Sequence[PackedBatch]) -> PackedBatch:
+    names = [f.name for f in dataclasses.fields(PackedBatch)]
+    return PackedBatch(**{n: np.stack([getattr(pb, n) for pb in pbs]) for n in names})
+
+
 def init_state(model, settings: TrainSettings, sample_batch: PackedBatch, rng_seed=0):
     # jit the init: eager tracing dispatches hundreds of tiny ops, which is
     # painfully slow on remote/tunneled devices
@@ -316,6 +355,11 @@ def fit(
     if state is None:
         state = init_state(model, settings, _to_device_batch(first, mesh), settings.seed)
     train_step, eval_step = make_step_fns(model, settings)
+    # dispatch-amortised chunked training (see TrainSettings.scan_chunk);
+    # the multi-host global-batch stream keeps the per-step path — its
+    # batches are globally-sharded jax Arrays assembled per step
+    use_scan = settings.scan_chunk > 1 and mesh is None and jax.process_count() == 1
+    multi_step = make_multi_step(model, settings) if use_scan else None
 
     plateau = metrics_lib.ReduceLROnPlateau(
         settings.learning_rate, settings.plateau_factor, settings.plateau_patience
@@ -350,19 +394,44 @@ def fit(
             epoch_records = _call_provider(train_records, epoch)
         train_losses = []
         train_divs = []
+
+        def run_single(state, pb):
+            state, loss, n_div = train_step(state, _to_device_batch(pb, mesh))
+            train_losses.append(loss)
+            train_divs.append(n_div)
+            return state
+
         # data order keyed on (seed, epoch): resume reproduces the order of
         # any epoch without replaying the rng stream
         epoch_rng = np.random.default_rng([settings.seed, epoch])
+        buf: list = []
         for pb in batch_iterator(
             epoch_records, settings.batch_size, max_atoms,
             shuffle=settings.shuffle, rng=epoch_rng, bucketed=settings.bucketed,
         ):
-            batch = _to_device_batch(pb, mesh)
-            state, loss, n_div = train_step(state, batch)
-            train_losses.append(loss)
-            train_divs.append(n_div)
-        train_loss = float(np.mean([np.asarray(l) for l in train_losses]))
-        epoch_divs = int(np.sum([np.asarray(d) for d in train_divs]))
+            if multi_step is None:
+                state = run_single(state, pb)
+                continue
+            if buf and buf[0].z.shape != pb.z.shape:
+                # bucket-shape change: drain the (sub-chunk) run per-step
+                for b in buf:
+                    state = run_single(state, b)
+                buf = []
+            buf.append(pb)
+            if len(buf) == settings.scan_chunk:
+                stacked = _to_device_batch(_stack_batches(buf), mesh)
+                state, losses, divs = multi_step(state, stacked)
+                train_losses.append(losses)
+                train_divs.append(divs)
+                buf = []
+        for b in buf:  # epoch tail shorter than one chunk
+            state = run_single(state, b)
+        train_loss = float(
+            np.mean(np.concatenate([np.atleast_1d(np.asarray(l)) for l in train_losses]))
+        )
+        epoch_divs = int(
+            np.sum(np.concatenate([np.atleast_1d(np.asarray(d)) for d in train_divs]))
+        )
         if epoch_divs:
             # the reference warns per occurrence (sinkhorn.py:434-438); here
             # the jitted solver rolls back silently and we surface the count

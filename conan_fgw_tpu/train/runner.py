@@ -423,6 +423,7 @@ def main(argv=None):
         allow_scratch=args.allow_scratch,
     )
     if args.out_json:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out_json)), exist_ok=True)
         with open(args.out_json, "w") as f:
             json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

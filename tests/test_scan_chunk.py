@@ -1,0 +1,91 @@
+"""Dispatch-amortised scan-chunked training (loop.make_multi_step).
+
+The scan body is the train step, so a chunk from a fixed state reproduces the
+sequential per-step result exactly. At the fit() level the two paths are
+numerically equivalent but XLA may schedule the scan body's ops with
+different rounding than the standalone step at some weight values, so the
+epoch histories are compared within tolerance rather than bitwise (the
+per-step path — scan_chunk=0, or any mesh/multi-process run — remains the
+bit-exactness/parity mode)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conan_fgw_tpu.data.loader import pack
+from conan_fgw_tpu.data.packing import PackedBatch
+from conan_fgw_tpu.data.synthetic import random_dataset
+from conan_fgw_tpu.models.heads import ConanModel
+from conan_fgw_tpu.train import loop as loop_lib
+
+
+def _dev(pb: PackedBatch) -> PackedBatch:
+    return PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(pb)))
+
+
+def test_chunk_matches_sequential_steps_exactly():
+    recs = random_dataset(7, 16, num_conformers=2, heavy_range=(3, 12))
+    model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
+    settings = loop_lib.TrainSettings(
+        batch_size=2, use_barycenter=True, learning_rate=1e-3
+    )
+    pbs = [pack(recs[i * 2 : (i + 1) * 2], max_atoms=32, batch_size=2) for i in range(8)]
+    state_a = loop_lib.init_state(model, settings, _dev(pbs[0]))
+    state_b = loop_lib.init_state(model, settings, _dev(pbs[0]))
+    train_step, _ = loop_lib.make_step_fns(model, settings)
+    multi = loop_lib.make_multi_step(model, settings)
+
+    losses_a = []
+    for pb in pbs:
+        state_a, loss, _ = train_step(state_a, _dev(pb))
+        losses_a.append(float(loss))
+    losses_b = []
+    for half in (pbs[:4], pbs[4:]):
+        state_b, losses, _ = multi(state_b, _dev(loop_lib._stack_batches(half)))
+        losses_b.extend(np.asarray(losses).tolist())
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_scan_chunk_equivalent():
+    records = random_dataset(7, 16, num_conformers=2, heavy_range=(3, 12))
+    val = random_dataset(8, 4, num_conformers=2, heavy_range=(3, 12))
+
+    hist = {}
+    for chunk in (1, 4):
+        model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
+        settings = loop_lib.TrainSettings(
+            batch_size=2, num_epochs=2, use_barycenter=True,
+            learning_rate=1e-3, scan_chunk=chunk,
+        )
+        hist[chunk] = loop_lib.fit(model, settings, records, val).history
+
+    for ra, rb in zip(hist[1], hist[4]):
+        np.testing.assert_allclose(ra["train_loss"], rb["train_loss"], rtol=1e-2)
+        np.testing.assert_allclose(ra["val_loss"], rb["val_loss"], rtol=1e-2)
+
+
+def test_stack_batches_roundtrip():
+    records = random_dataset(3, 4, num_conformers=2, heavy_range=(3, 8))
+    pb = pack(records, max_atoms=32, batch_size=4)
+    stacked = loop_lib._stack_batches([pb, pb, pb])
+    for f in dataclasses.fields(stacked):
+        arr = getattr(stacked, f.name)
+        assert arr.shape[0] == 3
+        np.testing.assert_array_equal(arr[1], getattr(pb, f.name))
+
+
+def test_mixed_buckets_consume_all_batches():
+    """Shape changes drain sub-chunk runs per-step; every batch trains once."""
+    records = random_dataset(11, 12, num_conformers=2, heavy_range=(3, 28))
+    val = random_dataset(12, 4, num_conformers=2, heavy_range=(3, 10))
+    model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
+    settings = loop_lib.TrainSettings(
+        batch_size=2, num_epochs=1, use_barycenter=True, scan_chunk=3
+    )
+    res = loop_lib.fit(model, settings, records, val)
+    assert np.isfinite(res.history[0]["train_loss"])
