@@ -228,6 +228,24 @@ def _stack_batches(pbs: Sequence[PackedBatch]) -> PackedBatch:
     return PackedBatch(**{n: np.stack([getattr(pb, n) for pb in pbs]) for n in names})
 
 
+def make_eval_scan(model, settings: TrainSettings):
+    """``eval_scan(params, batches) -> (losses, preds, n_divs)`` over a
+    stacked batch (leading axis = steps): the eval analogue of
+    ``make_multi_step`` — one dispatch per chunk of eval batches."""
+    loss_fn = make_loss_fn(model, settings)
+
+    @jax.jit
+    def eval_scan(params, batches: PackedBatch):
+        def body(carry, batch):
+            loss, (pred, n_div) = loss_fn(params, batch)
+            return carry, (loss, pred, n_div)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return eval_scan
+
+
 def init_state(model, settings: TrainSettings, sample_batch: PackedBatch, rng_seed=0):
     # jit the init: eager tracing dispatches hundreds of tiny ops, which is
     # painfully slow on remote/tunneled devices
@@ -240,21 +258,45 @@ def init_state(model, settings: TrainSettings, sample_batch: PackedBatch, rng_se
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int, mesh=None):
+def evaluate(
+    eval_step, params, records, settings: TrainSettings, max_atoms: int, mesh=None,
+    eval_scan=None,
+):
     """Full-split predictions + loss (the reference's global-gather metric path).
 
     Device arrays are collected asynchronously and fetched once at the end —
-    one host↔device sync per split instead of one per batch.
+    one host↔device sync per split instead of one per batch. When
+    ``eval_scan`` is given (single-process runs), chunks of same-shape eval
+    batches additionally collapse into one scanned dispatch each (the eval
+    analogue of ``scan_chunk`` training).
     """
     multihost = jax.process_count() > 1
-    device_out, valids, ys = [], [], []
+    use_scan = (
+        eval_scan is not None and settings.scan_chunk > 1
+        and mesh is None and not multihost
+    )
+    entries, valids, ys = [], [], []  # entry: ("single", out) | ("chunk", outs)
+    buf: list = []
     for pb in batch_iterator(
         records, settings.batch_size, max_atoms, bucketed=settings.bucketed
     ):
         valids.append(pb.mol_mask.copy())
         ys.append(pb.y.copy())
-        batch = _to_device_batch(pb, mesh)
-        device_out.append(eval_step(params, batch))
+        if not use_scan:
+            entries.append(("single", eval_step(params, _to_device_batch(pb, mesh))))
+            continue
+        if buf and buf[0].z.shape != pb.z.shape:
+            for b in buf:
+                entries.append(("single", eval_step(params, _to_device_batch(b, mesh))))
+            buf = []
+        buf.append(pb)
+        if len(buf) == settings.scan_chunk:
+            stacked = _to_device_batch(_stack_batches(buf), mesh)
+            entries.append(("chunk", eval_scan(params, stacked)))
+            buf = []
+    for b in buf:
+        entries.append(("single", eval_step(params, _to_device_batch(b, mesh))))
+    device_out = [e[1] for e in entries if e[0] == "single"]  # multihost: all
     if multihost:
         # predictions are global jax Arrays spanning all hosts; bring them to
         # every host (the reference's DDP all_gather, common.py:307-333,
@@ -271,7 +313,14 @@ def evaluate(eval_step, params, records, settings: TrainSettings, max_atoms: int
         divs_h = collectives.gather_to_host(jnp.stack([d for _, _, d in device_out]))
         fetched = list(zip(losses_h, preds_h, divs_h))
     else:
-        fetched = jax.device_get(device_out)
+        raw = jax.device_get([out for _, out in entries])
+        fetched = []
+        for (kind, _), out in zip(entries, raw):
+            if kind == "single":
+                fetched.append(out)
+            else:  # flatten the scanned chunk back to per-batch tuples
+                losses_c, preds_c, divs_c = out
+                fetched.extend(zip(losses_c, preds_c, divs_c))
     preds = [np.asarray(p).reshape(-1)[v] for (_, p, _), v in zip(fetched, valids)]
     losses = [float(np.mean(l)) for l, _, _ in fetched]
     n_div = int(np.sum([np.asarray(d) for _, _, d in fetched]))
@@ -360,6 +409,7 @@ def fit(
     # batches are globally-sharded jax Arrays assembled per step
     use_scan = settings.scan_chunk > 1 and mesh is None and jax.process_count() == 1
     multi_step = make_multi_step(model, settings) if use_scan else None
+    eval_scan = make_eval_scan(model, settings) if use_scan else None
 
     plateau = metrics_lib.ReduceLROnPlateau(
         settings.learning_rate, settings.plateau_factor, settings.plateau_patience
@@ -441,7 +491,8 @@ def fit(
             )
 
         val_metrics, _, _ = evaluate(
-            eval_step, state.params, val_records, settings, max_atoms, mesh
+            eval_step, state.params, val_records, settings, max_atoms, mesh,
+            eval_scan=eval_scan,
         )
         val_loss = val_metrics["loss"]
         row = {

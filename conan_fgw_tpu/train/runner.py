@@ -303,8 +303,13 @@ def run_experiment(
         max_atoms = settings.max_atoms or loop_lib.dataset_max_atoms(
             list(datasets["train"]) + list(datasets["valid"]) + list(datasets["test"])
         )
+        eval_scan = (
+            loop_lib.make_eval_scan(model, settings)
+            if settings.scan_chunk > 1 and mesh is None else None
+        )
         test_metrics, _, _ = loop_lib.evaluate(
-            eval_step, best_params, datasets["test"], settings, max_atoms, mesh
+            eval_step, best_params, datasets["test"], settings, max_atoms, mesh,
+            eval_scan=eval_scan,
         )
         run_metrics = {f"test_{k}": v for k, v in test_metrics.items()}
         run_metrics["best_epoch"] = result.best_epoch

@@ -89,3 +89,25 @@ def test_mixed_buckets_consume_all_batches():
     )
     res = loop_lib.fit(model, settings, records, val)
     assert np.isfinite(res.history[0]["train_loss"])
+
+
+def test_eval_scan_matches_per_step():
+    records = random_dataset(7, 14, num_conformers=2, heavy_range=(3, 25))
+    model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
+    settings = loop_lib.TrainSettings(batch_size=2, use_barycenter=True, scan_chunk=3)
+    max_atoms = loop_lib.dataset_max_atoms(records)
+    pb0 = pack(records[:2], max_atoms=max_atoms, batch_size=2)
+    state = loop_lib.init_state(model, settings, _dev(pb0))
+    _, eval_step = loop_lib.make_step_fns(model, settings)
+    eval_scan = loop_lib.make_eval_scan(model, settings)
+
+    m_scan, pred_scan, y_scan = loop_lib.evaluate(
+        eval_step, state.params, records, settings, max_atoms, eval_scan=eval_scan
+    )
+    stepwise = dataclasses.replace(settings, scan_chunk=0)
+    m_step, pred_step, y_step = loop_lib.evaluate(
+        eval_step, state.params, records, stepwise, max_atoms
+    )
+    np.testing.assert_array_equal(y_scan, y_step)
+    np.testing.assert_allclose(pred_scan, pred_step, rtol=1e-6)
+    np.testing.assert_allclose(m_scan["rmse"], m_step["rmse"], rtol=1e-6)
