@@ -69,6 +69,14 @@ class TrainSettings:
     # protocol shapes). 0/1 disables; single-process only (mesh/multi-host
     # runs always use the per-step path).
     scan_chunk: int = 8
+    # scan-chunking for the barycenter stage is opt-in: wrapping the FGW
+    # solver's value-and-grad (itself nested lax.scans) in an outer lax.scan
+    # executes pathologically on remote-executor TPU environments (observed:
+    # a 2-step scanned chunk of a step that runs in ~4ms unscanned took
+    # 339s end-to-end on the tunneled v5e; plain XLA:CPU is unaffected).
+    # Stage 1 (no barycenter) always benefits; set True on a directly
+    # attached TPU host if profiling shows it helps stage 2 as well.
+    scan_barycenter: bool = False
 
 
 class TrainState(train_state.TrainState):
@@ -407,7 +415,10 @@ def fit(
     # dispatch-amortised chunked training (see TrainSettings.scan_chunk);
     # the multi-host global-batch stream keeps the per-step path — its
     # batches are globally-sharded jax Arrays assembled per step
-    use_scan = settings.scan_chunk > 1 and mesh is None and jax.process_count() == 1
+    use_scan = (
+        settings.scan_chunk > 1 and mesh is None and jax.process_count() == 1
+        and (not settings.use_barycenter or settings.scan_barycenter)
+    )
     multi_step = make_multi_step(model, settings) if use_scan else None
     eval_scan = make_eval_scan(model, settings) if use_scan else None
 

@@ -305,7 +305,9 @@ def run_experiment(
         )
         eval_scan = (
             loop_lib.make_eval_scan(model, settings)
-            if settings.scan_chunk > 1 and mesh is None else None
+            if settings.scan_chunk > 1 and mesh is None
+            and (not settings.use_barycenter or settings.scan_barycenter)
+            else None
         )
         test_metrics, _, _ = loop_lib.evaluate(
             eval_step, best_params, datasets["test"], settings, max_atoms, mesh,

@@ -370,9 +370,10 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def _split_and_write(rows, dataset_dir, target_name, store_conformers, workers, prune):
-    """Scaffold-split rows, write CSVs, and generate conformer stores."""
-    splitter = ScaffoldSplitter()
+def _split_and_write(rows, dataset_dir, target_name, store_conformers, workers, prune,
+                     splitter=None):
+    """Split rows (scaffold by default), write CSVs, generate conformer stores."""
+    splitter = splitter or ScaffoldSplitter()
     smiles_list = [r["smiles"] for r in rows]
     tr, va, te = splitter.split(smiles_list, 0.8, 0.1, 0.1)
     splits = {"train": tr, "valid": va, "test": te}
@@ -411,11 +412,21 @@ def prepare_builtin(name, data_root, store_conformers, workers):
             dropped.append((s, repr(e)))
             continue
         rows.append({"smiles": s, "y": y, "mol_id": f"{name}_{i:04d}"})
-    print(f"sol250: {len(rows)} molecules ({len(dropped)} dropped)")
+    print(f"{name}: {len(rows)} molecules ({len(dropped)} dropped)")
     for s, err in dropped:
         print(f"  DROPPED {s}: {err}")
+    # sol1k is a substituent-enumerated library: Murcko/WL scaffolds are
+    # degenerate (every acyclic molecule shares the empty scaffold, every
+    # substituted benzene the benzene one), so a greedy scaffold split
+    # collapses (1028/228/29 observed). A seeded random split keeps the
+    # 80/10/10 protocol statistically meaningful; sol250's curated list
+    # keeps the reference's scaffold split.
+    from conan_fgw_tpu.data.splitters import RandomSplitter
+
+    splitter = RandomSplitter() if name == "sol1k" else None
     splits = _split_and_write(
-        rows, dataset_dir, "logS_surrogate", store_conformers, workers, prune=False
+        rows, dataset_dir, "logS_surrogate", store_conformers, workers, prune=False,
+        splitter=splitter,
     )
     ys = np.asarray([r["y"] for r in rows])
     manifest = {
@@ -426,6 +437,7 @@ def prepare_builtin(name, data_root, store_conformers, workers):
         "target_mean": float(ys.mean()),
         "target_std": float(ys.std()),
         "splits": {k: len(v) for k, v in splits.items()},
+        "split_method": "random(seed=42)" if name == "sol1k" else "scaffold",
         "store_conformers": store_conformers,
     }
     with open(os.path.join(dataset_dir, "manifest.json"), "w") as f:
@@ -466,6 +478,7 @@ def prepare_download(name, data_root, store_conformers, workers, prune):
         "n_molecules": len(rows),
         "target": spec["target_name"],
         "splits": {k: len(v) for k, v in splits.items()},
+        "split_method": "random(seed=42)" if name == "sol1k" else "scaffold",
         "store_conformers": store_conformers,
     }
     with open(os.path.join(dataset_dir, "manifest.json"), "w") as f:

@@ -60,7 +60,7 @@ def test_fit_scan_chunk_equivalent():
         model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
         settings = loop_lib.TrainSettings(
             batch_size=2, num_epochs=2, use_barycenter=True,
-            learning_rate=1e-3, scan_chunk=chunk,
+            learning_rate=1e-3, scan_chunk=chunk, scan_barycenter=True,
         )
         hist[chunk] = loop_lib.fit(model, settings, records, val).history
 
@@ -85,7 +85,8 @@ def test_mixed_buckets_consume_all_batches():
     val = random_dataset(12, 4, num_conformers=2, heavy_range=(3, 10))
     model = ConanModel(hidden_channels=32, num_filters=32, num_gaussians=10)
     settings = loop_lib.TrainSettings(
-        batch_size=2, num_epochs=1, use_barycenter=True, scan_chunk=3
+        batch_size=2, num_epochs=1, use_barycenter=True, scan_chunk=3,
+        scan_barycenter=True,
     )
     res = loop_lib.fit(model, settings, records, val)
     assert np.isfinite(res.history[0]["train_loss"])
