@@ -56,7 +56,7 @@ def _records():
 
 def _measure(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
-    use_pallas: bool = False, backbone: str = "schnet",
+    use_pallas: bool = False, backbone: str = "schnet", use_barycenter: bool = True,
 ) -> dict:
     """Honest per-step time via the slope method.
 
@@ -97,7 +97,7 @@ def _measure(
         )
     else:
         model = ConanModel(compute_dtype=compute_dtype, use_pallas_cfconv=use_pallas)
-    settings = loop_lib.TrainSettings(use_barycenter=True, batch_size=batch_size)
+    settings = loop_lib.TrainSettings(use_barycenter=use_barycenter, batch_size=batch_size)
     state = loop_lib.init_state(model, settings, batch)
     train_step, _ = loop_lib.make_step_fns(model, settings)
 
@@ -132,7 +132,7 @@ def _measure(
 
 def _measure_subprocess(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
-    use_pallas: bool = False, backbone: str = "schnet",
+    use_pallas: bool = False, backbone: str = "schnet", use_barycenter: bool = True,
 ) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
@@ -142,7 +142,8 @@ def _measure_subprocess(
     timeout = max(60.0, min(1200.0, _remaining()))
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
-         compute_dtype, str(n_atoms), str(int(use_pallas)), backbone],
+         compute_dtype, str(n_atoms), str(int(use_pallas)), backbone,
+         str(int(use_barycenter))],
         capture_output=True, text=True, check=True, timeout=timeout,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
@@ -241,6 +242,21 @@ def main():
 
     row("mixed_precision", 120, _bf16)
 
+    # stage-1 (no barycenter) step at the same shape: the difference vs the
+    # headline is the in-forward FGW barycenter solve's cost share
+    def _no_bary():
+        m = _measure_subprocess(B, use_barycenter=False)
+        return {
+            "use_barycenter": False,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "fgw_share_of_step": round(
+                max(0.0, 1.0 - m["step_s"] / headline["step_s"]), 3
+            ),
+        }
+
+    row("stage1_no_barycenter", 120, _no_bary)
+
     def _big():
         m = _measure_subprocess(256, "bfloat16")
         return {
@@ -288,6 +304,9 @@ if __name__ == "__main__":
         n_atoms = int(sys.argv[4]) if len(sys.argv) > 4 else N_ATOMS
         use_pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
         backbone = sys.argv[6] if len(sys.argv) > 6 else "schnet"
-        print(json.dumps(_measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone)))
+        use_bary = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
+        print(json.dumps(
+            _measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone, use_bary)
+        ))
     else:
         main()
