@@ -43,6 +43,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 # last successful full record: emitted (tagged) as a provisional first line so
 # a degraded device/tunnel can never produce an empty bench record
 RECORD_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_record.json")
+# completed enrichment rows, persisted across rounds so coverage compounds
+ROW_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_rows.json")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 _T0 = time.monotonic()
 
@@ -109,6 +111,20 @@ def _measure(
     last = float(loss)  # completion barrier
     compile_s = time.perf_counter() - t_compile0
 
+    # analytic FLOPs/step from XLA's cost model (for the MFU line); the
+    # lowering hits the persistent compile cache so this costs ~a second
+    flops_per_step = None
+    try:
+        ca = train_step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            f = float(ca.get("flops", 0.0))
+            if np.isfinite(f) and f > 0:
+                flops_per_step = f
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+
     def chain(n):
         nonlocal state, last
         t0 = time.perf_counter()
@@ -117,12 +133,24 @@ def _measure(
         last = float(loss)
         return time.perf_counter() - t0
 
+    # Per-step time = slope between a short and a long chained window.
+    # Tunnel latency noise can make an individual slope estimate negative
+    # (the r3 record emitted -0.71 ms/step from a min over 3); collect >=3
+    # strictly positive slopes, re-measuring noisy ones, and take the
+    # MEDIAN — unbiased under symmetric noise where min is not.
     n_short, n_long = 2, 2 + STEPS
-    step_s = float("inf")
-    for _ in range(3):
+    slopes: list[float] = []
+    for _ in range(8):
         t_short = chain(n_short)
         t_long = chain(n_long)
-        step_s = min(step_s, (t_long - t_short) / (n_long - n_short))
+        s = (t_long - t_short) / (n_long - n_short)
+        if np.isfinite(s) and s > 0:
+            slopes.append(s)
+        if len(slopes) >= 3:
+            break
+    assert slopes, "all slope estimates were non-positive (tunnel too noisy)"
+    step_s = float(np.median(slopes))
+    assert np.isfinite(step_s) and step_s > 0, f"invalid step_s {step_s}"
     assert np.isfinite(last), "benchmark train step produced non-finite loss"
     return {
         "step_s": step_s,
@@ -130,6 +158,8 @@ def _measure(
         "graphs_per_s": batch_size * K / step_s,
         "device": str(jax.devices()[0]),
         "loss": last,
+        "flops_per_step": flops_per_step,
+        "n_slope_samples": len(slopes),
     }
 
 
@@ -186,9 +216,32 @@ def _emit(headline: dict, detail: dict, vs: float | None, base_gps: float | None
         },
     }
     print(json.dumps(record), flush=True)
+    # never persist a corrupt record: a poisoned cache re-emits as future
+    # rounds' provisional line (this is exactly how the r3 negative headline
+    # would have propagated into r4)
+    v = record["value"]
+    if isinstance(v, (int, float)) and np.isfinite(v) and v > 0:
+        try:
+            with open(RECORD_CACHE, "w") as f:
+                json.dump(record, f)
+        except OSError:
+            pass
+
+
+def _load_row_cache() -> dict:
+    if os.path.exists(ROW_CACHE):
+        try:
+            with open(ROW_CACHE) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            pass
+    return {}
+
+
+def _save_row_cache(rows: dict) -> None:
     try:
-        with open(RECORD_CACHE, "w") as f:
-            json.dump(record, f)
+        with open(ROW_CACHE, "w") as f:
+            json.dump(rows, f)
     except OSError:
         pass
 
@@ -198,40 +251,53 @@ def main():
 
     # --- provisional line: the last successful record, tagged as cached, so
     # even a fully-degraded device/tunnel leaves a parseable record in the
-    # driver's tail. Superseded by every fresh line below.
+    # driver's tail. Superseded by every fresh line below. A cached record
+    # with a non-positive/non-finite value is corrupt — drop it on sight.
     if os.path.exists(RECORD_CACHE):
         try:
             with open(RECORD_CACHE) as f:
                 prev = json.load(f)
-            prev.setdefault("detail", {})["cached_record"] = (
-                "provisional: previous successful run; superseded by any later line"
-            )
-            print(json.dumps(prev), flush=True)
+            v = prev.get("value")
+            if isinstance(v, (int, float)) and np.isfinite(v) and v > 0:
+                prev.setdefault("detail", {})["cached_record"] = (
+                    "provisional: previous successful run; superseded by any later line"
+                )
+                print(json.dumps(prev), flush=True)
+            else:
+                os.remove(RECORD_CACHE)
         except (OSError, ValueError):
             pass
 
     # --- headline first: bucketed N=32 train step; printed before anything
     # else. A degraded device/tunnel (observed: trivial matmuls taking 100+s
     # after heavy chip use) can stall the measurement past its timeout; retry
-    # while the budget lasts and fall back to the provisional record rather
-    # than crashing with nothing in the tail.
+    # a bounded number of times (a fast-failing subprocess must not spin the
+    # whole budget away) and fall back to the provisional record.
     headline = None
-    while headline is None:
+    for attempt in range(3):
         try:
             headline = _measure_subprocess(B)
+            break
         except Exception as e:  # noqa: BLE001 — subprocess timeout/crash
-            print(f"# headline measurement failed: {type(e).__name__}", flush=True)
+            print(f"# headline measurement failed ({attempt + 1}/3): {type(e).__name__}", flush=True)
             if _remaining() < 180:
-                if not os.path.exists(RECORD_CACHE):
-                    print(
-                        json.dumps({
-                            "metric": "conformer_graphs_per_sec", "value": None,
-                            "unit": "graphs/s", "vs_baseline": None,
-                            "detail": {"failed": "device unresponsive within budget"},
-                        }),
-                        flush=True,
-                    )
-                return  # cached provisional line (if any) stays last in the tail
+                break
+            time.sleep(5)
+    if headline is None:
+        # emit a fresh failure-tagged record so the tail's LAST line always
+        # reflects THIS run, even when a stale provisional record exists
+        print(
+            json.dumps({
+                "metric": "conformer_graphs_per_sec", "value": None,
+                "unit": "graphs/s", "vs_baseline": None,
+                "detail": {
+                    "failed": "device unresponsive within budget",
+                    "provisional_above": os.path.exists(RECORD_CACHE),
+                },
+            }),
+            flush=True,
+        )
+        return
     _emit(headline, detail, None, None)
 
     # --- CPU baseline denominator (cached across rounds → usually instant)
@@ -242,71 +308,44 @@ def main():
     except Exception as e:  # baseline is best-effort; never break the bench
         base_gps, vs = None, None
         print(f"# baseline measurement failed: {e!r}", flush=True)
+
+    # --- MFU: XLA's analytic FLOP count for the whole train step (forward
+    # incl. batched FGW barycenters + backward + Adam) over measured time,
+    # against the chip's published peak. v5e (TPU v5 lite) peak is 197
+    # TFLOP/s bf16; f32 matmuls run through multi-pass bf16 on the MXU, so
+    # vs-bf16-peak is the conservative denominator for the f32 headline.
+    if headline.get("flops_per_step"):
+        achieved = headline["flops_per_step"] / headline["step_s"]
+        detail["mfu"] = {
+            "flops_per_step": round(headline["flops_per_step"]),
+            "achieved_gflops": round(achieved / 1e9, 1),
+            "peak_flops_assumed": 197e12,
+            "mfu_pct_vs_bf16_peak": round(100 * achieved / 197e12, 3),
+        }
     _emit(headline, detail, vs, base_gps)
 
-    # --- optional enrichment rows, cheapest-first, each within the budget.
-    # A row that doesn't fit records {"skipped": ...}; a row that fails
-    # records {"unavailable": ...}; either way the line is re-emitted.
+    # --- optional enrichment rows. Completed rows persist across rounds in
+    # ROW_CACHE and pre-populate the record (tagged); rows with NO prior
+    # record run FIRST so the budget compounds toward full coverage instead
+    # of re-measuring the same cheap rows every round. A row that doesn't
+    # fit records {"skipped": ...}; a failing one {"unavailable": ...}.
+    row_cache = _load_row_cache()
+    for key, cached in row_cache.items():
+        detail[key] = {**cached, "cached_from_prior_round": True}
+
     def row(key: str, min_budget_s: float, fn) -> None:
         if _remaining() < min_budget_s:
-            detail[key] = {"skipped": f"time budget ({_remaining():.0f}s left < {min_budget_s:.0f}s)"}
+            if key not in detail:
+                detail[key] = {"skipped": f"time budget ({_remaining():.0f}s left < {min_budget_s:.0f}s)"}
         else:
             try:
-                detail[key] = fn()
+                fresh = fn()
+                detail[key] = fresh
+                row_cache[key] = fresh
+                _save_row_cache(row_cache)
             except Exception as e:  # noqa: BLE001
                 detail[key] = {"unavailable": str(e)[:200]}
         _emit(headline, detail, vs, base_gps)
-
-    # the same molecules padded to the pre-bucketing dataset-max width: the
-    # production fit() path avoids this padding waste via atom-count buckets
-    def _unbucketed():
-        wide = _measure_subprocess(B, "float32", N_ATOMS_UNBUCKETED)
-        return {
-            "max_atoms": N_ATOMS_UNBUCKETED,
-            "step_s": round(wide["step_s"], 5),
-            "graphs_per_s": round(wide["graphs_per_s"], 1),
-            "bucketing_speedup": round(headline["graphs_per_s"] / wide["graphs_per_s"], 2),
-        }
-
-    row("unbucketed_n64", 120, _unbucketed)
-
-    # trunk in bfloat16 (params/FGW stay f32): the supported mixed-precision
-    # mode, ~0.6% output deviation, full MXU rate on the cfconv filter MLP
-    def _bf16():
-        m = _measure_subprocess(B, "bfloat16")
-        return {
-            "compute_dtype": "bfloat16",
-            "step_s": round(m["step_s"], 5),
-            "graphs_per_s": round(m["graphs_per_s"], 1),
-        }
-
-    row("mixed_precision", 120, _bf16)
-
-    # stage-1 (no barycenter) step at the same shape: the difference vs the
-    # headline is the in-forward FGW barycenter solve's cost share
-    def _no_bary():
-        m = _measure_subprocess(B, use_barycenter=False)
-        return {
-            "use_barycenter": False,
-            "step_s": round(m["step_s"], 5),
-            "graphs_per_s": round(m["graphs_per_s"], 1),
-            "fgw_share_of_step": round(
-                max(0.0, 1.0 - m["step_s"] / headline["step_s"]), 3
-            ),
-        }
-
-    row("stage1_no_barycenter", 120, _no_bary)
-
-    def _big():
-        m = _measure_subprocess(256, "bfloat16")
-        return {
-            "batch": 256,
-            "compute_dtype": "bfloat16",
-            "step_s": round(m["step_s"], 5),
-            "graphs_per_s": round(m["graphs_per_s"], 1),
-        }
-
-    row("large_batch", 150, _big)
 
     # fused Pallas cfconv (ops/pallas/cfconv.py): measured when the Mosaic
     # backend is reachable; some tunneled environments proxy compilation
@@ -320,11 +359,18 @@ def main():
             "vs_xla": round(m["graphs_per_s"] / headline["graphs_per_s"], 3),
         }
 
-    row("pallas_cfconv", 120, _pallas)
+    def _big():
+        m = _measure_subprocess(256, "bfloat16")
+        return {
+            "batch": 256,
+            "compute_dtype": "bfloat16",
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
 
     # DimeNet at N=96: the neighbor-slot triplet layout (N·M² activations)
     # is what makes this fit in HBM at all — the dense N³ formulation costs
-    # ~9x more (models/dimenet.py). Heaviest compile → last.
+    # ~9x more (models/dimenet.py).
     def _dimenet():
         m = _measure_subprocess(8, "float32", 96, backbone="dimenet")
         return {
@@ -333,7 +379,55 @@ def main():
             "graphs_per_s": round(m["graphs_per_s"], 1),
         }
 
-    row("dimenet_n96", 240, _dimenet)
+    # the same molecules padded to the pre-bucketing dataset-max width: the
+    # production fit() path avoids this padding waste via atom-count buckets
+    def _unbucketed():
+        wide = _measure_subprocess(B, "float32", N_ATOMS_UNBUCKETED)
+        return {
+            "max_atoms": N_ATOMS_UNBUCKETED,
+            "step_s": round(wide["step_s"], 5),
+            "graphs_per_s": round(wide["graphs_per_s"], 1),
+            "bucketing_speedup": round(headline["graphs_per_s"] / wide["graphs_per_s"], 2),
+        }
+
+    # trunk in bfloat16 (params/FGW stay f32): the supported mixed-precision
+    # mode, ~0.6% output deviation, full MXU rate on the cfconv filter MLP
+    def _bf16():
+        m = _measure_subprocess(B, "bfloat16")
+        return {
+            "compute_dtype": "bfloat16",
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
+
+    # stage-1 (no barycenter) step at the same shape: the difference vs the
+    # headline is the in-forward FGW barycenter solve's cost share (a
+    # fraction — clamped to [0,1])
+    def _no_bary():
+        m = _measure_subprocess(B, use_barycenter=False)
+        return {
+            "use_barycenter": False,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "fgw_share_of_step": round(
+                min(1.0, max(0.0, 1.0 - m["step_s"] / headline["step_s"])), 3
+            ),
+        }
+
+    all_rows = [
+        ("pallas_cfconv", 120, _pallas),
+        ("large_batch", 150, _big),
+        ("dimenet_n96", 240, _dimenet),
+        ("unbucketed_n64", 120, _unbucketed),
+        ("mixed_precision", 120, _bf16),
+        ("stage1_no_barycenter", 120, _no_bary),
+    ]
+    # never-yet-recorded rows first, then refresh previously-cached rows
+    ordered = [r for r in all_rows if r[0] not in row_cache] + [
+        r for r in all_rows if r[0] in row_cache
+    ]
+    for key, min_budget_s, fn in ordered:
+        row(key, min_budget_s, fn)
 
 
 if __name__ == "__main__":

@@ -108,6 +108,9 @@ class ExperimentConfig:
     # bfloat16 GNN trunk (params/FGW solver stay f32): full MXU rate on the
     # cfconv filter MLPs at ~0.6% output deviation
     compute_dtype: str = "float32"
+    # dispatch-amortised scan-chunked training (TrainSettings.scan_chunk);
+    # 0 = per-step bit-exact parity path, the default. Protocol configs set 8.
+    scan_chunk: int = 0
 
     @property
     def spec(self) -> ExperimentSpec:

@@ -63,12 +63,13 @@ class TrainSettings:
     # dispatch. Same step order and math as the per-step path (the scan body
     # IS the train step) — numerically equivalent, though XLA may schedule
     # the scanned body with float-rounding differences at some weight values,
-    # so scan_chunk=0 is the bit-exactness/parity mode. Removes per-step
-    # host→device dispatch latency, which dominates wall time on remote/
-    # tunneled TPUs (~70ms dispatch vs ~4ms device compute at the sol250
-    # protocol shapes). 0/1 disables; single-process only (mesh/multi-host
-    # runs always use the per-step path).
-    scan_chunk: int = 8
+    # so scan_chunk=0 (the default) is the bit-exactness/parity mode.
+    # Setting >1 removes per-step host→device dispatch latency, which
+    # dominates wall time on remote/tunneled TPUs (~70ms dispatch vs ~4ms
+    # device compute at the sol250 protocol shapes); the sol* protocol
+    # configs enable 8 explicitly (`scan_chunk: 8` YAML key). 0/1 disables;
+    # single-process only (mesh/multi-host runs always use per-step).
+    scan_chunk: int = 0
     # scan-chunking for the barycenter stage is opt-in: wrapping the FGW
     # solver's value-and-grad (itself nested lax.scans) in an outer lax.scan
     # executes pathologically on remote-executor TPU environments (observed:

@@ -126,6 +126,7 @@ def build_settings(config: ExperimentConfig, stage: str, loss_scale=None) -> loo
         es_patience=config.es_patience,
         es_min_delta=config.es_min_delta,
         max_atoms=config.max_atoms,
+        scan_chunk=config.scan_chunk,
         **plateau,
     )
 

@@ -411,7 +411,11 @@ def prepare_builtin(name, data_root, store_conformers, workers):
         except Exception as e:  # noqa: BLE001 — parser/embedder coverage filter
             dropped.append((s, repr(e)))
             continue
-        rows.append({"smiles": s, "y": y, "mol_id": f"{name}_{i:04d}"})
+        # sol250 predates the {name}_ prefix: keep its legacy 'sol' prefix so
+        # re-running --builtin sol250 reproduces the committed data/sol250
+        # store byte-for-byte (CSV mol_ids and conformer .npz filenames)
+        prefix = "sol" if name == "sol250" else name + "_"
+        rows.append({"smiles": s, "y": y, "mol_id": f"{prefix}{i:04d}"})
     print(f"{name}: {len(rows)} molecules ({len(dropped)} dropped)")
     for s, err in dropped:
         print(f"  DROPPED {s}: {err}")

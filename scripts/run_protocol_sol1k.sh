@@ -14,4 +14,7 @@ run() {
 }
 run sol1k_5.yaml    conan_fgw_pre sol1k_k5 s1k_pre.json
 run sol1k_5_bc.yaml conan_fgw     sol1k_k5 s1k_bc.json
+# agg_weight=0 control arm: same stage-2 budget/warm-start, FGW branch inert
+run sol1k_5_bc_agg0.yaml conan_fgw sol1k_k5_agg0 s1k_bc_agg0.json \
+  --pre_ckpt_dir outputs/models/sol1k_k5/1
 echo "sol1k protocol complete"
