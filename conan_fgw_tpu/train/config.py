@@ -98,6 +98,11 @@ class ExperimentConfig:
     # _compute_barycenter (schnet_no_sum.py:294-300, SURVEY §5 config trap) —
     # so False (the hardcoded 5/5/5, eps=0.1 parity behaviour) is the default.
     fgw_from_config: bool = False
+    # TPU-native solver-budget overrides (the reference has no knobs for the
+    # inner loops at all — numItermax/sinkhorn iters are hardcoded 5): when
+    # set, these override FGWConfig.pgd_iters / sinkhorn_iters directly.
+    fgw_pgd_iters: Optional[int] = None
+    fgw_sinkhorn_iters: Optional[int] = None
     trade_off: bool = False
     model_name: str = "schnet"
     # TPU-native extensions

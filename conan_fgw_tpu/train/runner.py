@@ -73,6 +73,10 @@ def build_model(config: ExperimentConfig, stage: str):
         # parity default: the reference hardcodes 5/5/5 iterations and
         # epsilon=0.1 regardless of the YAML (schnet_no_sum.py:294-300)
         fgw = FGWConfig()
+    if config.fgw_pgd_iters is not None:
+        fgw = dataclasses.replace(fgw, pgd_iters=config.fgw_pgd_iters)
+    if config.fgw_sinkhorn_iters is not None:
+        fgw = dataclasses.replace(fgw, sinkhorn_iters=config.fgw_sinkhorn_iters)
     common = dict(
         task=spec.task,
         hidden_channels=hidden,

@@ -449,6 +449,109 @@ def prepare_builtin(name, data_root, store_conformers, workers):
     print(json.dumps(manifest, indent=2))
 
 
+def conformer_spectral_dispersion(positions) -> float:
+    """Cross-conformer structural dispersion of one molecule's ensemble.
+
+    For each stored conformer c, ``D_c`` is the n×n Euclidean distance matrix
+    and ``λ(D_c)`` its sorted eigenvalue spectrum — a permutation-invariant
+    structural summary (spectra are Gromov-Wasserstein invariants). The
+    dispersion is the mean over conformer pairs of the per-atom-normalised
+    spectral distance ``‖λ(D_c) − λ(D_c')‖₂ / n``: a cheap symmetric
+    surrogate for the ensemble's pairwise GW dispersion, i.e. how much the
+    molecule's 3D *structure* (not any per-conformer scalar) varies across
+    its conformers.
+    """
+    P = np.asarray(positions, dtype=np.float64)  # (C, n, 3)
+    diff = P[:, :, None, :] - P[:, None, :, :]
+    D = np.sqrt((diff**2).sum(-1))  # (C, n, n)
+    spectra = np.sort(np.linalg.eigvalsh(D), axis=-1)  # (C, n)
+    n_conf, n = spectra.shape
+    pair_d = np.linalg.norm(spectra[:, None, :] - spectra[None, :, :], axis=-1) / n
+    iu = np.triu_indices(n_conf, k=1)
+    return float(pair_d[iu].mean()) if iu[0].size else 0.0
+
+
+def prepare_derived(name, data_root):
+    """Builtins derived from the committed sol1k store (no regeneration):
+
+    * ``sol1k_class`` — binary-classification twin: ``Class = 1`` iff
+      ``logS_surrogate`` is above the train split's 75th percentile (~1:3
+      imbalance, the BACE-like regime the reference's weighted-BCE path
+      targets, ``common.py:210-217``). Same molecules, splits, and conformer
+      stores (symlinked).
+    * ``solflex`` — cross-conformer structural-signal regression: the target
+      is ``conformer_spectral_dispersion`` over the SAME 10-conformer store
+      the training path resamples K from, standardised by train-split stats.
+      Unlike ``logS_surrogate`` (whose 3D term is a per-conformer scalar a
+      K-mean already averages), this target is an order-2 U-statistic over
+      conformer *pairs* — a mechanism that structurally compares conformers
+      to each other (the FGW barycenter branch) is architecturally matched
+      to it; a mean of per-conformer embeddings is not.
+    """
+    assert name in ("sol1k_class", "solflex")
+    base_dir = os.path.join(data_root, "data", "sol1k")
+    if not os.path.isdir(base_dir):
+        raise FileNotFoundError(
+            f"{base_dir} not found — run `prepare_data.py --builtin sol1k` first"
+        )
+    dataset_dir = os.path.join(data_root, "data", name)
+    os.makedirs(dataset_dir, exist_ok=True)
+
+    import csv as csv_mod
+
+    split_rows = {}
+    for mode in ("train", "valid", "test"):
+        with open(os.path.join(base_dir, f"{mode}.csv"), newline="") as f:
+            split_rows[mode] = [
+                {"smiles": r["smiles"], "y": float(r["logS_surrogate"]),
+                 "mol_id": r["mol_id"]}
+                for r in csv_mod.DictReader(f)
+            ]
+        # share the conformer stores via a relative symlink
+        link = os.path.join(dataset_dir, f"conformers_{mode}")
+        if not os.path.lexists(link):
+            os.symlink(os.path.join("..", "sol1k", f"conformers_{mode}"), link)
+
+    if name == "sol1k_class":
+        target_name = "Class"
+        thresh = float(np.percentile([r["y"] for r in split_rows["train"]], 75))
+        for mode, rows in split_rows.items():
+            for r in rows:
+                r["y"] = int(r["y"] > thresh)
+        extra = {
+            "threshold_logS": thresh,
+            "train_pos_frac": float(np.mean([r["y"] for r in split_rows["train"]])),
+        }
+    else:
+        target_name = "flex_surrogate"
+        for mode, rows in split_rows.items():
+            for r in rows:
+                pos = conf_lib.load_store(
+                    os.path.join(base_dir, f"conformers_{mode}"), r["mol_id"]
+                )
+                r["y"] = conformer_spectral_dispersion(pos)
+        mu = float(np.mean([r["y"] for r in split_rows["train"]]))
+        sd = float(np.std([r["y"] for r in split_rows["train"]]))
+        for rows in split_rows.values():
+            for r in rows:
+                r["y"] = (r["y"] - mu) / sd
+        extra = {"train_dispersion_mean": mu, "train_dispersion_std": sd}
+
+    for mode, rows in split_rows.items():
+        write_csv(os.path.join(dataset_dir, f"{mode}.csv"), rows, target=target_name)
+    manifest = {
+        "dataset": name,
+        "source": "derived from builtin sol1k (see prepare_derived docstring)",
+        "target": target_name,
+        "splits": {k: len(v) for k, v in split_rows.items()},
+        "conformers": "symlinked to data/sol1k",
+        **extra,
+    }
+    with open(os.path.join(dataset_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(json.dumps(manifest, indent=2))
+
+
 def prepare_download(name, data_root, store_conformers, workers, prune):
     spec = DOWNLOADS[name]
     dataset_dir = os.path.join(data_root, "data", name)
@@ -494,7 +597,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--download", choices=sorted(DOWNLOADS))
-    g.add_argument("--builtin", choices=["sol250", "sol1k"])
+    g.add_argument("--builtin", choices=["sol250", "sol1k", "sol1k_class", "solflex"])
     ap.add_argument("--data_root", default=".")
     ap.add_argument(
         "--store_conformers", type=int, default=10,
@@ -504,7 +607,9 @@ def main():
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--prune", action="store_true", help="RDKit pruneRmsThresh=0.5")
     args = ap.parse_args()
-    if args.builtin:
+    if args.builtin in ("sol1k_class", "solflex"):
+        prepare_derived(args.builtin, args.data_root)
+    elif args.builtin:
         prepare_builtin(args.builtin, args.data_root, args.store_conformers, args.workers)
     else:
         prepare_download(
