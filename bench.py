@@ -414,10 +414,36 @@ def main():
             ),
         }
 
+    # at batch 256 the XLA path materialises ~0.3 GB of (B·K, N, N, F)
+    # filter tensors per layer in HBM; the fused kernel never leaves VMEM —
+    # this pair tests the Pallas kernel where its HBM saving actually bites
+    # (f32 vs f32 at the same shape)
+    def _big_f32():
+        m = _measure_subprocess(256, "float32")
+        return {
+            "batch": 256,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
+
+    def _pallas_big():
+        m = _measure_subprocess(256, "float32", N_ATOMS, use_pallas=True)
+        r = {
+            "batch": 256,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
+        ref = detail.get("large_batch_f32", {}).get("graphs_per_s")
+        if ref:
+            r["vs_xla_f32"] = round(m["graphs_per_s"] / ref, 3)
+        return r
+
     all_rows = [
         ("pallas_cfconv", 120, _pallas),
         ("large_batch", 150, _big),
         ("dimenet_n96", 240, _dimenet),
+        ("large_batch_f32", 150, _big_f32),
+        ("pallas_large_batch", 150, _pallas_big),
         ("unbucketed_n64", 120, _unbucketed),
         ("mixed_precision", 120, _bf16),
         ("stage1_no_barycenter", 120, _no_bary),
