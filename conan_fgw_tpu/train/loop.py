@@ -70,14 +70,14 @@ class TrainSettings:
     # configs enable 8 explicitly (`scan_chunk: 8` YAML key). 0/1 disables;
     # single-process only (mesh/multi-host runs always use per-step).
     scan_chunk: int = 0
-    # scan-chunking for the barycenter stage is opt-in: wrapping the FGW
-    # solver's value-and-grad (itself nested lax.scans) in an outer lax.scan
-    # executes pathologically on remote-executor TPU environments (observed:
-    # a 2-step scanned chunk of a step that runs in ~4ms unscanned took
-    # 339s end-to-end on the tunneled v5e; plain XLA:CPU is unaffected).
-    # Stage 1 (no barycenter) always benefits; set True on a directly
-    # attached TPU host if profiling shows it helps stage 2 as well.
-    scan_barycenter: bool = False
+    # scan-chunking for the barycenter stage. Round 3 observed one anecdote
+    # of a 2-step scanned stage-2 chunk taking 339s on the tunneled v5e and
+    # gated this off; the round-4 probe (scripts/probe_scan_barycenter.py,
+    # PARITY.md) could not reproduce it — measured scan8 = 8.9 ms/step vs
+    # 10.0 ms/step per-step, compiles ~11 s — so the anecdote was transient
+    # tunnel degradation and the barycenter stage now scans by default.
+    # Set False to force the per-step dispatch path for stage 2 only.
+    scan_barycenter: bool = True
 
 
 class TrainState(train_state.TrainState):
