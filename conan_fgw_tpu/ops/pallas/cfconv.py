@@ -8,9 +8,13 @@ One kernel per conformer graph fuses the whole edge pipeline in VMEM:
 
 The XLA path materialises the ``(B*K, N, N, G)`` RBF tensor and the
 ``(B*K, N, N, F)`` filter tensor in HBM (hundreds of MB per layer at large
-batch); here they only ever exist as per-graph VMEM tiles. The backward pass
-recomputes through the reference XLA formulation (``custom_vjp``), so
-gradients are exact and the kernel stays forward-only.
+batch); here they only ever exist as per-graph VMEM tiles. The backward
+pass is a second fused kernel (``_bwd_kernel``): it recomputes the edge
+pipeline per graph in VMEM and produces ``dx`` plus the filter-MLP weight
+gradients, accumulated in f32 across the (sequential) TPU grid — so
+training never materialises the edge tensors either. Set
+``PALLAS_BACKWARD = False`` to fall back to recomputing the backward
+through the XLA formulation instead.
 
 Use via ``fused_cfconv``; falls back to interpret mode off-TPU so tests run
 on CPU. On TPU the kernel compiles natively through Mosaic and matches the
@@ -36,42 +40,12 @@ def _kernel(pos_ref, mask_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             *, cutoff: float, num_gaussians: int, max_neighbors: int):
     n = pos_ref.shape[1]
     f = x_ref.shape[-1]
-    pos = pos_ref[0]
-    m2 = mask_ref[0]  # (1, n) float; kept 2D — Mosaic rejects 1D bool outer products
     x = x_ref[0]
-
-    # pairwise distances
-    sq = jnp.sum(pos * pos, axis=-1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
-        pos, pos.T, preferred_element_type=jnp.float32
+    # mask kept 2D (1, n) float — Mosaic rejects 1D bool outer products
+    gate, rbf = _edge_pipeline(
+        pos_ref[0], mask_ref[0], cutoff=cutoff, num_gaussians=num_gaussians,
+        max_neighbors=max_neighbors,
     )
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-
-    # radius graph with first-k-by-index cap (torch-cluster semantics)
-    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
-        jnp.int32, (n, n), 1
-    )
-    valid = (m2.T * m2) > 0.5
-    within = valid & (dist <= cutoff)
-    cand = (within | eye) & valid
-    # exclusive prefix count along j as a matmul (Mosaic has no cumsum):
-    # rank[i, j] = sum_{j' < j} cand[i, j']
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ).astype(jnp.float32)
-    rank = jnp.dot(cand.astype(jnp.float32), tri, preferred_element_type=jnp.float32)
-    nbr = within & ~eye & (rank < max_neighbors + 0.5)
-
-    # Gaussian RBF + filter MLP, fused in VMEM (integer iota: Mosaic has no
-    # float iota / linspace)
-    step = cutoff / (num_gaussians - 1)
-    offset = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, num_gaussians), 1).astype(jnp.float32)
-        * step
-    ).reshape(num_gaussians)
-    coeff = -0.5 / step**2
-    rbf = jnp.exp(coeff * (dist[:, :, None] - offset[None, None, :]) ** 2)
     h = jnp.dot(
         rbf.reshape(n * n, num_gaussians), w1_ref[:],
         preferred_element_type=jnp.float32,
@@ -79,10 +53,131 @@ def _kernel(pos_ref, mask_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     h = jnp.logaddexp(h, 0.0) - math.log(2.0)  # shifted softplus
     w = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[0]
     w = w.reshape(n, n, f)
+    out_ref[0] = jnp.sum(w * gate[:, :, None] * x[None, :, :], axis=1)
 
+
+def _edge_pipeline(pos, m2, *, cutoff: float, num_gaussians: int, max_neighbors: int):
+    """Shared VMEM recompute: (dist, neighbor gate, rbf) for one graph —
+    everything the backward needs that does not depend on x or the weights."""
+    n = pos.shape[0]
+    sq = jnp.sum(pos * pos, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        pos, pos.T, preferred_element_type=jnp.float32
+    )
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 1
+    )
+    valid = (m2.T * m2) > 0.5
+    within = valid & (dist <= cutoff)
+    cand = (within | eye) & valid
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)
+    rank = jnp.dot(cand.astype(jnp.float32), tri, preferred_element_type=jnp.float32)
+    nbr = within & ~eye & (rank < max_neighbors + 0.5)
     env = 0.5 * (jnp.cos(dist * math.pi / cutoff) + 1.0)
     gate = jnp.where(nbr, env, 0.0)
-    out_ref[0] = jnp.sum(w * gate[:, :, None] * x[None, :, :], axis=1)
+
+    step = cutoff / (num_gaussians - 1)
+    offset = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, num_gaussians), 1).astype(jnp.float32)
+        * step
+    ).reshape(num_gaussians)
+    coeff = -0.5 / step**2
+    rbf = jnp.exp(coeff * (dist[:, :, None] - offset[None, None, :]) ** 2)
+    return gate, rbf
+
+
+def _bwd_kernel(pos_ref, mask_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                *, cutoff: float, num_gaussians: int, max_neighbors: int):
+    n = pos_ref.shape[1]
+    f = x_ref.shape[-1]
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    gate, rbf = _edge_pipeline(
+        pos_ref[0], mask_ref[0], cutoff=cutoff, num_gaussians=num_gaussians,
+        max_neighbors=max_neighbors,
+    )
+    rbf2 = rbf.reshape(n * n, num_gaussians)
+    pre = jnp.dot(rbf2, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
+    h = jnp.logaddexp(pre, 0.0) - math.log(2.0)
+    w = (jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[0]).reshape(
+        n, n, f
+    )
+
+    # out_if = sum_j w_ijf * gate_ij * x_jf; cotangent g_if
+    wg = w * gate[:, :, None]
+    dx_ref[0] = jnp.sum(wg * g[:, None, :], axis=0).astype(dx_ref.dtype)
+    dW = (gate[:, :, None] * g[:, None, :] * x[None, :, :]).reshape(n * n, f)
+    dh = jnp.dot(dW, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dpre = dh * jax.nn.sigmoid(pre)  # d/dz softplus(z) = sigmoid(z)
+
+    # weight grads accumulate across the sequential grid (one graph per step)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    dw1_ref[...] += jnp.dot(rbf2.T, dpre, preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    dw2_ref[...] += jnp.dot(h.T, dW, preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dW, axis=0, keepdims=True)
+
+
+def _fused_bwd_impl(pos, mask, x, w1, b1, w2, b2, g, cutoff, num_gaussians,
+                    max_neighbors, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    gsz, n, f = x.shape
+    kern = functools.partial(
+        _bwd_kernel, cutoff=cutoff, num_gaussians=num_gaussians,
+        max_neighbors=max_neighbors,
+    )
+    rep = lambda i: (0, 0)  # noqa: E731 — weights/grad accumulators shared
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        kern,
+        grid=(gsz,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec(w1.shape, rep),
+            pl.BlockSpec((1, b1.shape[0]), rep),
+            pl.BlockSpec(w2.shape, rep),
+            pl.BlockSpec((1, b2.shape[0]), rep),
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec(w1.shape, rep),
+            pl.BlockSpec((1, b1.shape[0]), rep),
+            pl.BlockSpec(w2.shape, rep),
+            pl.BlockSpec((1, b2.shape[0]), rep),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gsz, n, f), x.dtype),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, b1.shape[0]), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, b2.shape[0]), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        pos, mask.astype(jnp.float32)[:, None, :], x,
+        w1, b1[None, :], w2, b2[None, :], g,
+    )
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[0].astype(b2.dtype),
+    )
 
 
 def _cfconv_xla(pos, mask, x, w1, b1, w2, b2, *, cutoff, num_gaussians, max_neighbors):
@@ -149,8 +244,21 @@ def _fwd(pos, mask, x, w1, b1, w2, b2, cutoff, num_gaussians, max_neighbors, int
     return out, (pos, mask, x, w1, b1, w2, b2)
 
 
+# fused Pallas backward by default; False recomputes the backward through
+# the XLA formulation instead (exact same math, but materialises the
+# (G, N, N, ·) edge tensors in HBM)
+PALLAS_BACKWARD = True
+
+
 def _bwd(cutoff, num_gaussians, max_neighbors, interpret, res, g):
     pos, mask, x, w1, b1, w2, b2 = res
+    if PALLAS_BACKWARD:
+        dx, dw1, db1, dw2, db2 = _fused_bwd_impl(
+            pos, mask, x, w1, b1, w2, b2, g,
+            cutoff, num_gaussians, max_neighbors, interpret,
+        )
+        return (None, None, dx, dw1, db1, dw2, db2)
+
     # exact gradients by recomputation through the XLA formulation
     def f(x_, w1_, b1_, w2_, b2_):
         return _cfconv_xla(

@@ -52,6 +52,45 @@ def check_pallas_parity() -> dict:
     return out
 
 
+def check_pallas_backward() -> dict:
+    """Native Mosaic backward kernel vs the XLA vjp (gradients, on chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conan_fgw_tpu.ops.pallas import cfconv as pc
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend is {jax.default_backend()!r}, not tpu"}
+    rng = np.random.default_rng(1)
+    g, n, f, ng = 4, 32, 128, 50
+    pos = jnp.asarray(rng.normal(size=(g, n, 3)) * 2, jnp.float32)
+    mask = jnp.asarray(rng.random((g, n)) > 0.2, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(g, n, f)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(ng, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, f)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+
+    def loss_pallas(x, w1, b1, w2, b2):
+        return jnp.sum(pc.fused_cfconv(pos, mask, x, w1, b1, w2, b2, 10.0, ng, 32, False) ** 2)
+
+    def loss_xla(x, w1, b1, w2, b2):
+        return jnp.sum(
+            pc._cfconv_xla(pos, mask, x, w1, b1, w2, b2, cutoff=10.0,
+                           num_gaussians=ng, max_neighbors=32) ** 2
+        )
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    out = {}
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), gp, gx):
+        diff = float(jnp.max(jnp.abs(a - b)))
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        out[name] = {"max_abs_diff": diff, "ref_scale": round(scale, 3)}
+        assert diff <= 3e-4 * scale, f"pallas backward mismatch on {name}: {diff}"
+    return out
+
+
 def check_train_step() -> dict:
     import jax
     import jax.numpy as jnp
@@ -77,7 +116,11 @@ def check_train_step() -> dict:
 
 def main() -> int:
     ok = True
-    for name, fn in [("pallas_native_parity", check_pallas_parity), ("train_step", check_train_step)]:
+    for name, fn in [
+        ("pallas_native_parity", check_pallas_parity),
+        ("pallas_backward_parity", check_pallas_backward),
+        ("train_step", check_train_step),
+    ]:
         try:
             res = fn()
         except Exception as e:  # noqa: BLE001
