@@ -212,7 +212,7 @@ class ConanModel(nn.Module):
         return {"x3d": x3d, "x_bary": x_bary, "x_cov": x_cov}
 
     def __call__(self, batch, use_barycenter: bool = False):
-        """Returns predictions ``(B, 1)`` (sigmoid-squashed for classification)."""
+        """Returns predictions ``(B, 1)`` (logits for classification)."""
         if self.is_initializing():
             # Materialise every branch so stage-1 (pre) and stage-2 (barycenter)
             # share one parameter tree — the two-stage warm start is then a
@@ -236,6 +236,12 @@ class ConanModel(nn.Module):
                 x = x + self.agg_weight * self.tbary(x_bary)
 
         out = self.head(x)
-        if self.task == "classification":
-            out = nn.sigmoid(out)
+        # Classification returns LOGITS (deviation from the reference, which
+        # applies sigmoid in-model and F.binary_cross_entropy on
+        # probabilities, common.py:211-217): at the 512-wide head's init
+        # scale the f32 sigmoid saturates exactly to 0/1, the clipped
+        # prob-space BCE has zero gradient, and training never starts.
+        # The sigmoid moves to the numerically-stable logit-space BCE in
+        # the loss (loop.py) and to the inference boundary (predict.py);
+        # AUROC/PRC are rank-based and unaffected.
         return out

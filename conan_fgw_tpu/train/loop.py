@@ -149,8 +149,13 @@ def make_loss_fn(model, settings: TrainSettings) -> Callable:
             sq = jnp.where(w > 0, (pred - y) ** 2, 0.0)
             loss = jnp.sum(sq) / denom
         else:
-            p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
-            bce = -(y * jnp.log(p) + (1.0 - y) * jnp.log(1.0 - p))
+            # stable logit-space BCE (model outputs logits — heads.py): the
+            # reference's prob-space F.binary_cross_entropy with its scalar
+            # class-weight rescale (common.py:211-217, train_val.py:61-62)
+            # equals scale * mean(bce); computing from logits keeps the
+            # gradient alive where sigmoid saturates in f32
+            z = pred
+            bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
             scale = settings.loss_scale if settings.loss_scale is not None else 1.0
             loss = scale * jnp.sum(jnp.where(w > 0, bce, 0.0)) / denom
         return loss, (pred, n_div)

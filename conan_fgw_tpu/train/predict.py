@@ -121,6 +121,9 @@ def main(argv=None):
     params = RunCheckpointer(args.checkpoint).restore_params(state.params, args.which)
 
     ordered, pred, y = predict_records(model, params, records, settings, max_atoms)
+    if settings.task == "classification":
+        # the model emits logits (heads.py); surface probabilities
+        pred = 1.0 / (1.0 + np.exp(-np.asarray(pred, dtype=np.float64)))
     rows = [
         {"mol_id": r.mol_id, "smiles": r.smiles, "prediction": float(p), "target": float(t)}
         for r, p, t in zip(ordered, pred, y)

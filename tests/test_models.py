@@ -40,13 +40,17 @@ class TestShapes:
             assert out.shape == (4, 1)
             assert np.isfinite(np.asarray(out)).all()
 
-    def test_classification_range(self, recs):
+    def test_classification_logits(self, recs):
+        """Classification emits finite LOGITS (sigmoid lives at the loss /
+        inference boundary — heads.py); probabilities after squashing."""
         model = ConanModel(task="classification", **SMALL)
         batch = _batch(recs)
         params = model.init(jax.random.PRNGKey(1), batch, use_barycenter=True)
         for bary in (False, True):
             out = np.asarray(model.apply(params, batch, use_barycenter=bary))
-            assert ((out >= 0) & (out <= 1)).all()
+            assert np.isfinite(out).all()
+            p = 1.0 / (1.0 + np.exp(-out))
+            assert ((p >= 0) & (p <= 1)).all()
 
 
 class TestInvariances:
