@@ -62,6 +62,7 @@ def _records():
 def _measure(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
     use_pallas: bool = False, backbone: str = "schnet", use_barycenter: bool = True,
+    use_pallas_fgw: bool = False,
 ) -> dict:
     """Honest per-step time via the slope method.
 
@@ -93,15 +94,18 @@ def _measure(
     # reference regression config; the production fit() path buckets batches
     # by atom count, so the headline shape is the N=32 bucket these molecules
     # actually land in (not the dataset-max width)
-    if backbone == "dimenet":
-        from conan_fgw_tpu.ops.fgw import FGWConfig
+    from conan_fgw_tpu.ops.fgw import FGWConfig
 
+    if backbone == "dimenet":
         model = ConanModel(
             backbone_name="dimenet", cutoff=5.0, bary_shift=0.5,
             fgw=FGWConfig(alpha=0.5, fixed_structure=True),
         )
     else:
-        model = ConanModel(compute_dtype=compute_dtype, use_pallas_cfconv=use_pallas)
+        model = ConanModel(
+            compute_dtype=compute_dtype, use_pallas_cfconv=use_pallas,
+            fgw=FGWConfig(use_pallas_coupling=use_pallas_fgw),
+        )
     settings = loop_lib.TrainSettings(use_barycenter=use_barycenter, batch_size=batch_size)
     state = loop_lib.init_state(model, settings, batch)
     train_step, _ = loop_lib.make_step_fns(model, settings)
@@ -166,6 +170,7 @@ def _measure(
 def _measure_subprocess(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
     use_pallas: bool = False, backbone: str = "schnet", use_barycenter: bool = True,
+    use_pallas_fgw: bool = False,
 ) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
@@ -176,7 +181,7 @@ def _measure_subprocess(
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
          compute_dtype, str(n_atoms), str(int(use_pallas)), backbone,
-         str(int(use_barycenter))],
+         str(int(use_barycenter)), str(int(use_pallas_fgw))],
         capture_output=True, text=True, check=True, timeout=timeout,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
@@ -438,7 +443,19 @@ def main():
             r["vs_xla_f32"] = round(m["graphs_per_s"] / ref, 3)
         return r
 
+    # fused Pallas FGW coupling solver (ops/pallas/fgw.py): the whole
+    # PGD x Sinkhorn solve per conformer in one VMEM kernel vs the XLA
+    # nested-scan solver (FGW = fgw_share_of_step of the headline step)
+    def _pallas_fgw():
+        m = _measure_subprocess(B, use_pallas_fgw=True)
+        return {
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "vs_xla": round(m["graphs_per_s"] / headline["graphs_per_s"], 3),
+        }
+
     all_rows = [
+        ("pallas_fgw", 120, _pallas_fgw),
         ("pallas_cfconv", 120, _pallas),
         ("large_batch", 150, _big),
         ("dimenet_n96", 240, _dimenet),
@@ -465,8 +482,10 @@ if __name__ == "__main__":
         use_pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
         backbone = sys.argv[6] if len(sys.argv) > 6 else "schnet"
         use_bary = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
+        use_pfgw = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
         print(json.dumps(
-            _measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone, use_bary)
+            _measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone,
+                     use_bary, use_pfgw)
         ))
     else:
         main()

@@ -48,6 +48,12 @@ class FGWConfig:
     fixed_structure: bool = False
     fixed_features: bool = False
     stop_grad_couplings: bool = True
+    # fused Pallas coupling solver (ops/pallas/fgw.py): the whole PGD x
+    # Sinkhorn solve per conformer runs unrolled in VMEM. Forward-only, so
+    # it requires stop_grad_couplings (the reference's torch.no_grad
+    # semantics) and the square-loss PGD hot path; other configurations
+    # keep the XLA solver.
+    use_pallas_coupling: bool = False
 
 
 def normalize_minmax(x: jnp.ndarray, a: float, b: float, eps: float = 0.0) -> jnp.ndarray:
@@ -109,26 +115,46 @@ def fgw_barycenter(
     ppt = jnp.outer(p, p)
     ppt_safe = jnp.where(ppt > 0, ppt, 1.0)
 
-    solve = jax.vmap(
-        lambda M, Cb, Ck, q, T0: fgw_coupling(
-            M,
-            Cb,
-            Ck,
-            p,
-            q,
-            T0,
-            alpha=config.alpha,
-            epsilon=config.epsilon,
-            pgd_iters=config.pgd_iters,
-            pgd_tol=config.pgd_tol,
-            sinkhorn_iters=config.sinkhorn_iters,
-            sinkhorn_thr=config.sinkhorn_thr,
-            loss_fun=config.loss_fun,
-            symmetric=True,
-            return_diverged=True,
-        ),
-        in_axes=(0, None, 0, 0, 0),
-    )
+    if (
+        config.use_pallas_coupling
+        and config.loss_fun == "square_loss"
+        and config.stop_grad_couplings
+    ):
+        from conan_fgw_tpu.ops.pallas.fgw import pallas_fgw_couplings
+
+        def solve(Ms_, Cb_, Cks_, qs_, T0_):
+            # forward-only kernel: explicitly stop-grad every input (the
+            # stop_grad_couplings path never differentiates through the
+            # solve anyway — identical semantics, no autodiff residuals)
+            sg = jax.lax.stop_gradient
+            return pallas_fgw_couplings(
+                sg(Ms_), sg(Cb_), sg(Cks_), sg(p), sg(qs_), sg(T0_),
+                alpha=config.alpha, epsilon=config.epsilon,
+                pgd_iters=config.pgd_iters, pgd_tol=config.pgd_tol,
+                sinkhorn_iters=config.sinkhorn_iters,
+                sinkhorn_thr=config.sinkhorn_thr,
+            )
+    else:
+        solve = jax.vmap(
+            lambda M, Cb, Ck, q, T0: fgw_coupling(
+                M,
+                Cb,
+                Ck,
+                p,
+                q,
+                T0,
+                alpha=config.alpha,
+                epsilon=config.epsilon,
+                pgd_iters=config.pgd_iters,
+                pgd_tol=config.pgd_tol,
+                sinkhorn_iters=config.sinkhorn_iters,
+                sinkhorn_thr=config.sinkhorn_thr,
+                loss_fun=config.loss_fun,
+                symmetric=True,
+                return_diverged=True,
+            ),
+            in_axes=(0, None, 0, 0, 0),
+        )
 
     def outer_step(carry, _):
         Y, C, T, T_eff, Ms, frozen, n_div = carry

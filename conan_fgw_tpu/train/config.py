@@ -110,6 +110,9 @@ class ExperimentConfig:
     bary_pad_mode: str = "reference"
     neighbor_cap_mode: str = "index"
     use_pallas_cfconv: bool = False
+    # fused Pallas FGW coupling solver (ops/pallas/fgw.py; square-loss PGD
+    # stop-grad path only — other solver configs keep XLA)
+    use_pallas_fgw: bool = False
     # bfloat16 GNN trunk (params/FGW solver stay f32): full MXU rate on the
     # cfconv filter MLPs at ~0.6% output deviation
     compute_dtype: str = "float32"

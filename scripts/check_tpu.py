@@ -91,6 +91,44 @@ def check_pallas_backward() -> dict:
     return out
 
 
+def check_pallas_fgw() -> dict:
+    """Native Mosaic FGW coupling kernel vs the XLA solver (on chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conan_fgw_tpu.ops.fgw.coupling import fgw_coupling
+    from conan_fgw_tpu.ops.pallas.fgw import pallas_fgw_couplings
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": f"backend is {jax.default_backend()!r}, not tpu"}
+    rng = np.random.default_rng(2)
+    k, n = 5, 32
+    Ys = rng.random((k, n, 3)).astype(np.float32) + 0.1
+    Y0 = rng.random((n, 3)).astype(np.float32)
+    Ms = jnp.asarray(
+        np.stack([((Y0[:, None] - Ys[s][None]) ** 2).sum(-1) for s in range(k)])
+    )
+    Cs = (rng.random((k, n, n)) > 0.6).astype(np.float32)
+    Cs = jnp.asarray(np.maximum(Cs, Cs.transpose(0, 2, 1)))
+    p = jnp.full((n,), 1.0 / n, jnp.float32)
+    qs = jnp.full((k, n), 1.0 / n, jnp.float32)
+    T0 = jnp.einsum("i,kj->kij", p, qs)
+    kw = dict(alpha=0.1, epsilon=0.1, pgd_iters=5, pgd_tol=1e-4,
+              sinkhorn_iters=5, sinkhorn_thr=1e-2)
+    T_native, div = pallas_fgw_couplings(Ms, Cs[0], Cs, p, qs, T0,
+                                         interpret=False, **kw)
+    T_ref = jax.vmap(
+        lambda M, Ck, q, t0: fgw_coupling(
+            M, Cs[0], Ck, p, q, t0, loss_fun="square_loss", symmetric=True, **kw
+        )
+    )(Ms, Cs, qs, T0)
+    diff = float(jnp.max(jnp.abs(T_native - T_ref)))
+    scale = max(float(jnp.max(jnp.abs(T_ref))), 1e-6)
+    assert diff <= 1e-4 * max(scale, 1.0), f"pallas fgw mismatch: {diff} vs {scale}"
+    return {"max_abs_diff": diff, "ref_scale": round(scale, 5),
+            "diverged": int(np.sum(np.asarray(div)))}
+
+
 def check_train_step() -> dict:
     import jax
     import jax.numpy as jnp
@@ -119,6 +157,7 @@ def main() -> int:
     for name, fn in [
         ("pallas_native_parity", check_pallas_parity),
         ("pallas_backward_parity", check_pallas_backward),
+        ("pallas_fgw_parity", check_pallas_fgw),
         ("train_step", check_train_step),
     ]:
         try:
