@@ -61,8 +61,8 @@ def _records():
 
 def _measure(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
-    use_pallas: bool = False, backbone: str = "schnet", use_barycenter: bool = True,
-    use_pallas_fgw: bool = False,
+    use_pallas: bool | None = None, backbone: str = "schnet",
+    use_barycenter: bool = True, use_pallas_fgw: bool = False,
 ) -> dict:
     """Honest per-step time via the slope method.
 
@@ -169,8 +169,8 @@ def _measure(
 
 def _measure_subprocess(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
-    use_pallas: bool = False, backbone: str = "schnet", use_barycenter: bool = True,
-    use_pallas_fgw: bool = False,
+    use_pallas: bool | None = None, backbone: str = "schnet",
+    use_barycenter: bool = True, use_pallas_fgw: bool = False,
 ) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
@@ -178,9 +178,10 @@ def _measure_subprocess(
     import sys
 
     timeout = max(60.0, min(1200.0, _remaining()))
+    pallas_arg = "a" if use_pallas is None else str(int(use_pallas))
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
-         compute_dtype, str(n_atoms), str(int(use_pallas)), backbone,
+         compute_dtype, str(n_atoms), pallas_arg, backbone,
          str(int(use_barycenter)), str(int(use_pallas_fgw))],
         capture_output=True, text=True, check=True, timeout=timeout,
     )
@@ -335,6 +336,14 @@ def main():
     # of re-measuring the same cheap rows every round. A row that doesn't
     # fit records {"skipped": ...}; a failing one {"unavailable": ...}.
     row_cache = _load_row_cache()
+    known_keys = {
+        "pallas_fgw", "xla_cfconv", "large_batch", "dimenet_n96",
+        "xla_large_batch_f32", "large_batch_f32", "unbucketed_n64",
+        "mixed_precision", "stage1_no_barycenter",
+    }
+    # rows whose semantics were retired (e.g. pallas_* rows from before the
+    # Pallas-by-default flip) must not linger as stale cached entries
+    row_cache = {k: v for k, v in row_cache.items() if k in known_keys}
     for key, cached in row_cache.items():
         detail[key] = {**cached, "cached_from_prior_round": True}
 
@@ -352,16 +361,16 @@ def main():
                 detail[key] = {"unavailable": str(e)[:200]}
         _emit(headline, detail, vs, base_gps)
 
-    # fused Pallas cfconv (ops/pallas/cfconv.py): measured when the Mosaic
-    # backend is reachable; some tunneled environments proxy compilation
-    # through a service without Mosaic support — record the failure instead
-    # of crashing the bench.
-    def _pallas():
-        m = _measure_subprocess(B, "float32", N_ATOMS, use_pallas=True)
+    # the cfconv now routes through the fused Pallas kernel by default on
+    # TPU f32 (models/schnet.py auto mode), so the HEADLINE is the Pallas
+    # path; this row measures the pure-XLA formulation for the ratio
+    def _xla_cfconv():
+        m = _measure_subprocess(B, "float32", N_ATOMS, use_pallas=False)
         return {
+            "use_pallas_cfconv": False,
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
-            "vs_xla": round(m["graphs_per_s"] / headline["graphs_per_s"], 3),
+            "pallas_speedup": round(headline["graphs_per_s"] / m["graphs_per_s"], 3),
         }
 
     def _big():
@@ -420,28 +429,29 @@ def main():
         }
 
     # at batch 256 the XLA path materialises ~0.3 GB of (B·K, N, N, F)
-    # filter tensors per layer in HBM; the fused kernel never leaves VMEM —
-    # this pair tests the Pallas kernel where its HBM saving actually bites
-    # (f32 vs f32 at the same shape)
+    # filter tensors per layer in HBM; the fused forward+backward kernels
+    # never leave VMEM — this pair shows the saving where it bites most
+    # (f32 vs f32 at the same shape; auto = Pallas on TPU)
     def _big_f32():
         m = _measure_subprocess(256, "float32")
-        return {
-            "batch": 256,
-            "step_s": round(m["step_s"], 5),
-            "graphs_per_s": round(m["graphs_per_s"], 1),
-        }
-
-    def _pallas_big():
-        m = _measure_subprocess(256, "float32", N_ATOMS, use_pallas=True)
         r = {
             "batch": 256,
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
         }
-        ref = detail.get("large_batch_f32", {}).get("graphs_per_s")
+        ref = detail.get("xla_large_batch_f32", {}).get("graphs_per_s")
         if ref:
-            r["vs_xla_f32"] = round(m["graphs_per_s"] / ref, 3)
+            r["pallas_speedup"] = round(m["graphs_per_s"] / ref, 3)
         return r
+
+    def _xla_big_f32():
+        m = _measure_subprocess(256, "float32", N_ATOMS, use_pallas=False)
+        return {
+            "batch": 256,
+            "use_pallas_cfconv": False,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+        }
 
     # fused Pallas FGW coupling solver (ops/pallas/fgw.py): the whole
     # PGD x Sinkhorn solve per conformer in one VMEM kernel vs the XLA
@@ -456,11 +466,11 @@ def main():
 
     all_rows = [
         ("pallas_fgw", 120, _pallas_fgw),
-        ("pallas_cfconv", 120, _pallas),
+        ("xla_cfconv", 120, _xla_cfconv),
         ("large_batch", 150, _big),
         ("dimenet_n96", 240, _dimenet),
+        ("xla_large_batch_f32", 150, _xla_big_f32),
         ("large_batch_f32", 150, _big_f32),
-        ("pallas_large_batch", 150, _pallas_big),
         ("unbucketed_n64", 120, _unbucketed),
         ("mixed_precision", 120, _bf16),
         ("stage1_no_barycenter", 120, _no_bary),
@@ -479,7 +489,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
         dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
         n_atoms = int(sys.argv[4]) if len(sys.argv) > 4 else N_ATOMS
-        use_pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+        raw = sys.argv[5] if len(sys.argv) > 5 else "a"
+        use_pallas = None if raw == "a" else bool(int(raw))
         backbone = sys.argv[6] if len(sys.argv) > 6 else "schnet"
         use_bary = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
         use_pfgw = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False

@@ -22,7 +22,7 @@ being replicated K times.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -92,8 +92,9 @@ class ConanModel(nn.Module):
     # trunk matmul dtype: "bfloat16" runs the SchNet cfconv at full MXU rate
     # (params, fusion heads, and the FGW solver stay f32)
     compute_dtype: str = "float32"
-    # fused Pallas cfconv (SchNet backbone only; see ops/pallas/cfconv.py)
-    use_pallas_cfconv: bool = False
+    # fused Pallas cfconv (SchNet backbone only; see ops/pallas/cfconv.py).
+    # None = auto: on for TPU f32 trunks, off elsewhere (models/schnet.py)
+    use_pallas_cfconv: Optional[bool] = None
 
     def setup(self):
         half = self.hidden_channels // 2

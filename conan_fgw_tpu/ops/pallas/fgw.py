@@ -116,7 +116,16 @@ def _coupling_kernel(M_ref, Cb_ref, Ck_ref, p_ref, q_ref, T0_ref, T_out, div_out
         frozen = jnp.maximum(frozen, newly_frozen)
         diverged = jnp.maximum(diverged, bad)
     T_out[0] = T
-    div_out[0, 0] = diverged
+
+    # divergence count accumulated across the sequential grid into a
+    # lane-wide buffer: Mosaic requires output block tails divisible by
+    # (8, 128) or equal to the array dims, so a (k, 1) per-instance flag is
+    # unloweratable — a (1, 128) full-array accumulator is the portable form
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        div_out[...] = jnp.zeros_like(div_out)
+
+    div_out[...] += jnp.full(div_out.shape, diverged, div_out.dtype)
 
 
 def pallas_fgw_couplings(Ms, Cb, Cks, p, qs, T0s, *, alpha, epsilon, pgd_iters,
@@ -125,7 +134,8 @@ def pallas_fgw_couplings(Ms, Cb, Cks, p, qs, T0s, *, alpha, epsilon, pgd_iters,
 
     Args: ``Ms``/``Cks``/``T0s`` ``(K, N, N)``, ``Cb`` ``(N, N)`` (shared
     barycenter structure), ``p`` ``(N,)``, ``qs`` ``(K, N)``. Returns
-    ``(T (K, N, N), diverged (K,) bool)``. Forward-only (see module doc).
+    ``(T (K, N, N), diverged int32 scalar)`` — the *count* of the K solves
+    that hit a Sinkhorn numerical failure. Forward-only (see module doc).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -148,14 +158,15 @@ def pallas_fgw_couplings(Ms, Cb, Cks, p, qs, T0s, *, alpha, epsilon, pgd_iters,
         ],
         out_specs=[
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k, n, n), Ms.dtype),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         interpret=interpret,
     )(
         Ms, Cb[None], Cks, p[None, None, :], qs[:, None, :], T0s,
     )
-    return T, div[:, 0] > 0.5
+    # div[0, 0] = number of the K solves that diverged (scalar count)
+    return T, div[0, 0].astype(jnp.int32)

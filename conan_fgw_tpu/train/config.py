@@ -109,7 +109,9 @@ class ExperimentConfig:
     max_atoms: Optional[int] = None
     bary_pad_mode: str = "reference"
     neighbor_cap_mode: str = "index"
-    use_pallas_cfconv: bool = False
+    # None = auto: fused Pallas cfconv on TPU f32 trunks, XLA elsewhere
+    # (models/schnet.py); true/false forces
+    use_pallas_cfconv: Optional[bool] = None
     # fused Pallas FGW coupling solver (ops/pallas/fgw.py; square-loss PGD
     # stop-grad path only — other solver configs keep XLA)
     use_pallas_fgw: bool = False

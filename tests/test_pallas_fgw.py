@@ -42,7 +42,7 @@ def test_couplings_match_xla():
             M, Cb, Ck, p, q, t0, loss_fun="square_loss", symmetric=True, **KW
         )
     )(Ms, Cs, qs, T0)
-    assert not bool(div.any())
+    assert int(div) == 0
     np.testing.assert_allclose(
         np.asarray(T_pallas), np.asarray(T_xla), atol=2e-5, rtol=1e-4
     )
