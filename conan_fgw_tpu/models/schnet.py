@@ -41,7 +41,8 @@ class InteractionBlock(nn.Module):
     * Pallas (``use_pallas=True`` and ``pos``/``atom_mask`` given): one fused
       VMEM kernel per conformer graph recomputing distances/mask/RBF on-chip,
       so the ``(G, N, N, F)`` filter tensor never touches HBM
-      (``conan_fgw_tpu.ops.pallas.cfconv``). f32 only; exact same math.
+      (``conan_fgw_tpu.ops.pallas.cfconv``). f32 and bf16 trunks (the kernel
+      computes in f32 and casts the stored messages).
     """
 
     hidden_channels: int
@@ -145,10 +146,13 @@ class SchNet3D(nn.Module):
             if self.use_pallas_cfconv is not None
             else jax.default_backend() == "tpu"
         )
+        # f32 and bf16 trunks both route through the kernel (it computes in
+        # f32 VMEM regardless and casts only the stored messages, so the
+        # bf16 path is slightly *more* precise than the bf16 XLA cfconv)
         use_pallas = (
             want_pallas
             and self.neighbor_cap_mode == "index"
-            and cdtype == jnp.float32
+            and cdtype in (jnp.float32, jnp.bfloat16)
         )
         self.blocks = [
             block(

@@ -40,7 +40,9 @@ def _kernel(pos_ref, mask_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             *, cutoff: float, num_gaussians: int, max_neighbors: int):
     n = pos_ref.shape[1]
     f = x_ref.shape[-1]
-    x = x_ref[0]
+    # bf16 trunks: node features arrive bf16; the kernel computes in f32
+    # (RBF/filter MLP precision is free in VMEM) and casts only the store
+    x = x_ref[0].astype(jnp.float32)
     # mask kept 2D (1, n) float — Mosaic rejects 1D bool outer products
     gate, rbf = _edge_pipeline(
         pos_ref[0], mask_ref[0], cutoff=cutoff, num_gaussians=num_gaussians,
@@ -53,7 +55,9 @@ def _kernel(pos_ref, mask_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     h = jnp.logaddexp(h, 0.0) - math.log(2.0)  # shifted softplus
     w = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[0]
     w = w.reshape(n, n, f)
-    out_ref[0] = jnp.sum(w * gate[:, :, None] * x[None, :, :], axis=1)
+    out_ref[0] = jnp.sum(w * gate[:, :, None] * x[None, :, :], axis=1).astype(
+        out_ref.dtype
+    )
 
 
 def _edge_pipeline(pos, m2, *, cutoff: float, num_gaussians: int, max_neighbors: int):
@@ -168,7 +172,7 @@ def _fused_bwd_impl(pos, mask, x, w1, b1, w2, b2, g, cutoff, num_gaussians,
         ],
         interpret=interpret,
     )(
-        pos, mask.astype(jnp.float32)[:, None, :], x,
+        pos.astype(jnp.float32), mask.astype(jnp.float32)[:, None, :], x,
         w1, b1[None, :], w2, b2[None, :], g,
     )
     return (
@@ -232,7 +236,7 @@ def _fused_fwd_impl(pos, mask, x, w1, b1, w2, b2, cutoff, num_gaussians,
         out_shape=jax.ShapeDtypeStruct((g, n, f), x.dtype),
         interpret=interpret,
     )(
-        pos, mask.astype(jnp.float32)[:, None, :], x,
+        pos.astype(jnp.float32), mask.astype(jnp.float32)[:, None, :], x,
         w1, b1[None, :], w2, b2[None, :],
     )
 

@@ -90,3 +90,31 @@ def test_model_wiring_matches_xla_path():
     flat2 = jax.tree.leaves(g2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_bf16_trunk_matches_xla():
+    """bf16 node features through the kernel (kernel computes f32, stores
+    bf16) track the f32 XLA formulation within bf16 tolerance."""
+    args = list(map(jnp.asarray, _problem(seed=4)))
+    pos, mask, x, w1, b1, w2, b2 = args
+    xb = x.astype(jnp.bfloat16)
+    fused = fused_cfconv(pos, mask, xb, w1, b1, w2, b2, 10.0, 10, 32)
+    assert fused.dtype == jnp.bfloat16
+    ref = _cfconv_xla(pos, mask, x, w1, b1, w2, b2, cutoff=10.0, num_gaussians=10,
+                      max_neighbors=32)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref), atol=2e-2 * scale
+    )
+    # gradients flow through the fused backward with bf16 activations
+    def loss(xb, w1, b1, w2, b2):
+        return jnp.sum(
+            fused_cfconv(pos, mask, xb, w1, b1, w2, b2, 10.0, 10, 32).astype(
+                jnp.float32
+            ) ** 2
+        )
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xb, w1, b1, w2, b2)
+    assert grads[0].dtype == jnp.bfloat16
+    for g in grads:
+        assert np.isfinite(np.asarray(g, np.float32)).all()
