@@ -204,13 +204,15 @@ class RunCheckpointer:
         donate/invalidate the original buffers while this copy is still being
         fetched by the writer thread.
 
-        The copies must EXECUTE before this returns: on the tunneled axon
-        backend the next dispatched train step's buffer donation has been
-        observed to outrun the async copy (round 4: a ViSNet run whose live
-        val_mse was 0.0096 saved a 'best' checkpoint that restored to
-        garbage params — test RMSE 1.4e8). Fetching one element per leaf
-        (a few hundred bytes total) forces every copy through the real
-        completion barrier without pulling the full state to host."""
+        The copies are forced to EXECUTE before this returns (one element
+        fetched per leaf — a few hundred bytes — as a hard completion
+        barrier): defensive hardening against donation outrunning the async
+        copy on backends with weak ordering. (A round-4 ViSNet anomaly was
+        initially attributed to this race; the checkpoint turned out to be
+        clean — the model itself produced a divergent prediction for one
+        molecule — but the barrier stays: it is nearly free and removes the
+        hazard class on the tunneled backend, where block_until_ready is
+        known not to imply completion.)"""
         copied = jax.tree.map(
             lambda x: jnp_copy(x) if hasattr(x, "devices") else x, tree
         )
