@@ -18,7 +18,7 @@ through the XLA formulation instead.
 
 Use via ``fused_cfconv``; falls back to interpret mode off-TPU so tests run
 on CPU. On TPU the kernel compiles natively through Mosaic and matches the
-XLA formulation within 1e-4 relative tolerance (the ``scripts/check_tpu.py``
+XLA formulation within 5e-4 relative tolerance (the ``scripts/check_tpu.py``
 assertion, validated on a v5e chip; the bench's ``pallas_cfconv`` row
 records its measured speed vs the XLA path). Mosaic
 portability note: 1D boolean outer products (``m[:, None] & m[None, :]``)
