@@ -115,11 +115,21 @@ def _measure(
     last = float(loss)  # completion barrier
     compile_s = time.perf_counter() - t_compile0
 
-    # analytic FLOPs/step from XLA's cost model (for the MFU line); the
-    # lowering hits the persistent compile cache so this costs ~a second
+    # analytic FLOPs/step from XLA's cost model (for the MFU line). Ops
+    # inside pallas_call are INVISIBLE to cost_analysis, so when the model
+    # routes through the fused kernels the count comes from an equivalent
+    # all-XLA lowering (same math, path-independent FLOPs); lowerings hit
+    # the persistent compile cache so this costs ~a second
     flops_per_step = None
     try:
-        ca = train_step.lower(state, batch).compile().cost_analysis()
+        ca_model = model
+        if backbone != "dimenet" and (use_pallas or use_pallas is None):
+            ca_model = ConanModel(
+                compute_dtype=compute_dtype, use_pallas_cfconv=False,
+                fgw=FGWConfig(),
+            )
+        ca_step, _ = loop_lib.make_step_fns(ca_model, settings)
+        ca = ca_step.lower(state, batch).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca:
