@@ -238,6 +238,111 @@ def fgw_barycenter(
     return Y, C
 
 
+def _fgw_barycenter_batch_pallas(Ys, Cs, ps, p, lambdas, config, return_diverged):
+    """Batched barycenter with the graph-tiled Pallas coupling kernel.
+
+    Mathematically identical to ``vmap(fgw_barycenter)`` over molecules, but
+    the outer block-coordinate scan runs once over the whole batch so each
+    outer iteration issues a *single* tiled ``pallas_call`` covering all
+    ``B*K`` coupling solves (``ops/pallas/fgw.py``: G graphs per grid
+    instance as one block-diagonal MXU tile) instead of ``B*K`` sequential
+    one-graph grid instances under vmap. Per-molecule outer freeze flags and
+    the stop-grad re-application trick are preserved exactly.
+
+    Only reachable for the gated Pallas configuration: ``square_loss`` +
+    ``stop_grad_couplings`` (the reference ``torch.no_grad`` hot path,
+    ``barycenter.py:120``).
+    """
+    from conan_fgw_tpu.ops.pallas.fgw import pallas_fgw_couplings_flat
+
+    B, K, N, D = Ys.shape
+    S = B * K
+    sg = jax.lax.stop_gradient
+    Ys_ng, Cs_ng, ps_ng, p_ng = sg(Ys), sg(Cs), sg(ps), sg(p)
+    C = Cs[:, 0]
+    Y = jnp.zeros((B, N, D), Ys.dtype)
+    T = jnp.einsum("bn,bkm->bknm", p, ps)
+    Ms = sqdist(Y[:, None], Ys)
+    has_mass = p > 0
+    inv_p = jnp.where(has_mass, 1.0 / jnp.where(has_mass, p, 1.0), 0.0)
+    ppt = jnp.einsum("bn,bm->bnm", p, p)
+    ppt_safe = jnp.where(ppt > 0, ppt, 1.0)
+    flat = lambda x: x.reshape((S,) + x.shape[2:])
+
+    def outer_step(carry, _):
+        Y, C, T, T_eff, Ms, frozen, n_div = carry  # frozen: (B,) bool
+        T0 = T if config.warmstart else jnp.einsum("bn,bkm->bknm", p_ng, ps_ng)
+        T_flat, div_flags = pallas_fgw_couplings_flat(
+            flat(sg(Ms)),
+            flat(jnp.broadcast_to(sg(C)[:, None], (B, K, N, N))),
+            flat(Cs_ng),
+            flat(jnp.broadcast_to(p_ng[:, None], (B, K, N))),
+            flat(ps_ng),
+            flat(sg(T0)),
+            alpha=config.alpha, epsilon=config.epsilon,
+            pgd_iters=config.pgd_iters, pgd_tol=config.pgd_tol,
+            sinkhorn_iters=config.sinkhorn_iters,
+            sinkhorn_thr=config.sinkhorn_thr,
+        )
+        T_new = T_flat.reshape(B, K, N, N).astype(T.dtype)
+        div_b = jnp.sum(div_flags.reshape(B, K), axis=1)
+        n_div = n_div + jnp.sum(jnp.where(frozen, 0, div_b))
+
+        if config.fixed_features:
+            Y_new, Ms_new = Y, Ms
+        else:
+            Y_new = inv_p[:, :, None] * jnp.einsum(
+                "bk,bknm,bkmd->bnd", lambdas, T_new, Ys_ng
+            )
+            Ms_new = sqdist(Y_new[:, None], Ys_ng)
+        if config.fixed_structure:
+            C_new = C
+        else:
+            C_new = jnp.where(
+                ppt > 0,
+                jnp.einsum("bk,bknm,bkmj,bklj->bnl", lambdas, T_new, Cs_ng, T_new)
+                / ppt_safe,
+                0.0,
+            )
+        zeros_b = jnp.zeros((B,), Ys.dtype)
+        err_f = (
+            jnp.sqrt(jnp.sum((Y_new - Y) ** 2, axis=(1, 2)))
+            if not config.fixed_features
+            else zeros_b
+        )
+        err_s = (
+            jnp.sqrt(jnp.sum((C_new - C) ** 2, axis=(1, 2)))
+            if not config.fixed_structure
+            else zeros_b
+        )
+        newly_frozen = (err_f <= config.outer_tol) & (err_s <= config.outer_tol)
+        m3 = frozen[:, None, None]
+        m4 = frozen[:, None, None, None]
+        Y = jnp.where(m3, Y, Y_new)
+        C = jnp.where(m3, C, C_new)
+        T = jnp.where(m4, T, T_new)
+        T_eff = jnp.where(m4, T_eff, T_new)
+        Ms = jnp.where(m4, Ms, Ms_new)
+        frozen = frozen | newly_frozen
+        return (Y, C, T, T_eff, Ms, frozen, n_div), None
+
+    with jax.default_matmul_precision("highest"):
+        (Y, C, _, T_eff, _, _, n_div), _ = jax.lax.scan(
+            outer_step,
+            (Y, C, T, T, Ms, jnp.zeros((B,), bool), jnp.int32(0)),
+            None,
+            length=config.outer_iters,
+        )
+    Y, C, T_eff = map(sg, (Y, C, T_eff))
+    if not config.fixed_features:
+        # re-apply the last feature update differentiably w.r.t. Ys — the
+        # reference's torch.no_grad gradient semantics (barycenter.py:120)
+        Y = inv_p[:, :, None] * jnp.einsum("bk,bknm,bkmd->bnd", lambdas, T_eff, Ys)
+    if return_diverged:
+        return Y, C, n_div
+    return Y, C
+
+
 def fgw_barycenter_batch(
     Ys: jnp.ndarray,
     Cs: jnp.ndarray,
@@ -254,6 +359,10 @@ def fgw_barycenter_batch(
     identical to the reference, where padding rows of ``to_dense_batch``
     participate with zero adjacency (``schnet_no_sum.py:264-271``).
 
+    With ``config.use_pallas_coupling`` (square-loss + stop-grad path), the
+    batch runs through the graph-tiled kernel with all B*K solves flattened
+    into one pallas grid per outer iteration.
+
     ``return_diverged=True`` appends the batch-total count of coupling solves
     that hit Sinkhorn numerical failures and rolled back.
     """
@@ -264,6 +373,18 @@ def fgw_barycenter_batch(
         p = jnp.full((B, N), 1.0 / N, Ys.dtype)
     if lambdas is None:
         lambdas = jnp.full((B, K), 1.0 / K, Ys.dtype)
+    if (
+        config.use_pallas_coupling
+        and config.loss_fun == "square_loss"
+        and config.stop_grad_couplings
+    ):
+        out = _fgw_barycenter_batch_pallas(
+            Ys, Cs, ps, p, lambdas, config, return_diverged
+        )
+        if return_diverged:
+            Y, C, n_div = out
+            return Y, C, jnp.sum(n_div)
+        return out
     out = jax.vmap(
         lambda y, c, psb, pb, lb: fgw_barycenter(
             y, c, psb, pb, lb, config, return_diverged=return_diverged
