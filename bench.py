@@ -62,7 +62,7 @@ def _records():
 def _measure(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
     use_pallas: bool | None = None, backbone: str = "schnet",
-    use_barycenter: bool = True, use_pallas_fgw: bool = False,
+    use_barycenter: bool = True, use_pallas_fgw: bool | None = None,
 ) -> dict:
     """Honest per-step time via the slope method.
 
@@ -122,11 +122,18 @@ def _measure(
     # the persistent compile cache so this costs ~a second
     flops_per_step = None
     try:
-        ca_model = model
-        if backbone != "dimenet" and (use_pallas or use_pallas is None):
+        # force BOTH kernels off for the count (auto mode would route the
+        # cfconv AND the FGW solve through pallas_call on TPU, hiding them)
+        if backbone == "dimenet":
+            ca_model = ConanModel(
+                backbone_name="dimenet", cutoff=5.0, bary_shift=0.5,
+                fgw=FGWConfig(alpha=0.5, fixed_structure=True,
+                              use_pallas_coupling=False),
+            )
+        else:
             ca_model = ConanModel(
                 compute_dtype=compute_dtype, use_pallas_cfconv=False,
-                fgw=FGWConfig(),
+                fgw=FGWConfig(use_pallas_coupling=False),
             )
         ca_step, _ = loop_lib.make_step_fns(ca_model, settings)
         ca = ca_step.lower(state, batch).compile().cost_analysis()
@@ -166,6 +173,23 @@ def _measure(
     step_s = float(np.median(slopes))
     assert np.isfinite(step_s) and step_s > 0, f"invalid step_s {step_s}"
     assert np.isfinite(last), "benchmark train step produced non-finite loss"
+    # self-describing flags: the RESOLVED auto-mode decisions this
+    # measurement actually ran with (VERDICT r4 #8 — a row must say whether
+    # the Pallas kernels were active, not make the reader infer it)
+    on_tpu = jax.default_backend() == "tpu"
+    flags = {
+        "compute_dtype": compute_dtype,
+        "use_pallas_cfconv": bool(
+            (use_pallas if use_pallas is not None else on_tpu)
+            and backbone == "schnet"
+        ),
+        "use_pallas_fgw": bool(
+            (use_pallas_fgw if use_pallas_fgw is not None else on_tpu)
+            and use_barycenter
+        ),
+        "scan_chunk": 0,  # bench steps dispatch per-step (parity path)
+        "use_barycenter": use_barycenter,
+    }
     return {
         "step_s": step_s,
         "compile_s": compile_s,
@@ -174,13 +198,14 @@ def _measure(
         "loss": last,
         "flops_per_step": flops_per_step,
         "n_slope_samples": len(slopes),
+        "flags": flags,
     }
 
 
 def _measure_subprocess(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
     use_pallas: bool | None = None, backbone: str = "schnet",
-    use_barycenter: bool = True, use_pallas_fgw: bool = False,
+    use_barycenter: bool = True, use_pallas_fgw: bool | None = None,
 ) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
@@ -189,10 +214,11 @@ def _measure_subprocess(
 
     timeout = max(60.0, min(1200.0, _remaining()))
     pallas_arg = "a" if use_pallas is None else str(int(use_pallas))
+    pfgw_arg = "a" if use_pallas_fgw is None else str(int(use_pallas_fgw))
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
          compute_dtype, str(n_atoms), pallas_arg, backbone,
-         str(int(use_barycenter)), str(int(use_pallas_fgw))],
+         str(int(use_barycenter)), pfgw_arg],
         capture_output=True, text=True, check=True, timeout=timeout,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
@@ -228,6 +254,7 @@ def _emit(headline: dict, detail: dict, vs: float | None, base_gps: float | None
             "baseline_graphs_per_s": round(base_gps, 2) if base_gps else None,
             "batch": B, "conformers": K, "max_atoms": N_ATOMS,
             "device": headline["device"],
+            "flags": headline.get("flags"),
             **detail,
         },
     }
@@ -352,8 +379,11 @@ def main():
         "mixed_precision", "stage1_no_barycenter",
     }
     # rows whose semantics were retired (e.g. pallas_* rows from before the
-    # Pallas-by-default flip) must not linger as stale cached entries
-    row_cache = {k: v for k, v in row_cache.items() if k in known_keys}
+    # Pallas-by-default flip) must not linger as stale cached entries, and
+    # pre-r5 rows without the self-describing "flags" block are stale too
+    # (r5 flipped the FGW kernel on by default, changing every row's meaning)
+    row_cache = {k: v for k, v in row_cache.items()
+                 if k in known_keys and v.get("flags") is not None}
     for key, cached in row_cache.items():
         detail[key] = {**cached, "cached_from_prior_round": True}
 
@@ -381,6 +411,7 @@ def main():
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
             "pallas_speedup": round(headline["graphs_per_s"] / m["graphs_per_s"], 3),
+            "flags": m.get("flags"),
         }
 
     def _big():
@@ -390,6 +421,7 @@ def main():
             "compute_dtype": "bfloat16",
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
+            "flags": m.get("flags"),
         }
 
     # DimeNet at N=96: the neighbor-slot triplet layout (N·M² activations)
@@ -401,6 +433,7 @@ def main():
             "batch": 8, "max_atoms": 96,
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
+            "flags": m.get("flags"),
         }
 
     # the same molecules padded to the pre-bucketing dataset-max width: the
@@ -412,6 +445,7 @@ def main():
             "step_s": round(wide["step_s"], 5),
             "graphs_per_s": round(wide["graphs_per_s"], 1),
             "bucketing_speedup": round(headline["graphs_per_s"] / wide["graphs_per_s"], 2),
+            "flags": wide.get("flags"),
         }
 
     # trunk in bfloat16 (params/FGW stay f32): the supported mixed-precision
@@ -422,6 +456,7 @@ def main():
             "compute_dtype": "bfloat16",
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
+            "flags": m.get("flags"),
         }
 
     # stage-1 (no barycenter) step at the same shape: the difference vs the
@@ -436,6 +471,7 @@ def main():
             "fgw_share_of_step": round(
                 min(1.0, max(0.0, 1.0 - m["step_s"] / headline["step_s"])), 3
             ),
+            "flags": m.get("flags"),
         }
 
     # at batch 256 the XLA path materialises ~0.3 GB of (B·K, N, N, F)
@@ -449,6 +485,7 @@ def main():
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
         }
+        r["flags"] = m.get("flags")
         ref = detail.get("xla_large_batch_f32", {}).get("graphs_per_s")
         if ref:
             r["pallas_speedup"] = round(m["graphs_per_s"] / ref, 3)
@@ -461,17 +498,22 @@ def main():
             "use_pallas_cfconv": False,
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
+            "flags": m.get("flags"),
         }
 
-    # fused Pallas FGW coupling solver (ops/pallas/fgw.py): the whole
-    # PGD x Sinkhorn solve per conformer in one VMEM kernel vs the XLA
-    # nested-scan solver (FGW = fgw_share_of_step of the headline step)
+    # fused Pallas FGW coupling solver (ops/pallas/fgw.py) is ON BY DEFAULT
+    # on TPU since r5, so the HEADLINE is the Pallas-FGW path; this row
+    # measures the step with the XLA nested-scan solver forced, and vs_xla
+    # is the headline's speedup over it (FGW = fgw_share_of_step of the
+    # step, so this is the kernel's whole-step win)
     def _pallas_fgw():
-        m = _measure_subprocess(B, use_pallas_fgw=True)
+        m = _measure_subprocess(B, use_pallas_fgw=False)
         return {
+            "measured": "xla_fgw_denominator",
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
-            "vs_xla": round(m["graphs_per_s"] / headline["graphs_per_s"], 3),
+            "vs_xla": round(headline["graphs_per_s"] / m["graphs_per_s"], 3),
+            "flags": m.get("flags"),
         }
 
     all_rows = [
@@ -503,7 +545,8 @@ if __name__ == "__main__":
         use_pallas = None if raw == "a" else bool(int(raw))
         backbone = sys.argv[6] if len(sys.argv) > 6 else "schnet"
         use_bary = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
-        use_pfgw = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+        raw_pfgw = sys.argv[8] if len(sys.argv) > 8 else "a"
+        use_pfgw = None if raw_pfgw == "a" else bool(int(raw_pfgw))
         print(json.dumps(
             _measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone,
                      use_bary, use_pfgw)

@@ -93,7 +93,8 @@ class ConanModel(nn.Module):
     # (params, fusion heads, and the FGW solver stay f32)
     compute_dtype: str = "float32"
     # fused Pallas cfconv (SchNet backbone only; see ops/pallas/cfconv.py).
-    # None = auto: on for TPU f32 trunks, off elsewhere (models/schnet.py)
+    # None = auto: on for TPU f32/bf16 trunks, off elsewhere
+    # (models/schnet.py:142-157)
     use_pallas_cfconv: Optional[bool] = None
 
     def setup(self):

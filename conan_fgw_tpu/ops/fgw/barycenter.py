@@ -49,11 +49,29 @@ class FGWConfig:
     fixed_features: bool = False
     stop_grad_couplings: bool = True
     # fused Pallas coupling solver (ops/pallas/fgw.py): the whole PGD x
-    # Sinkhorn solve per conformer runs unrolled in VMEM. Forward-only, so
-    # it requires stop_grad_couplings (the reference's torch.no_grad
-    # semantics) and the square-loss PGD hot path; other configurations
-    # keep the XLA solver.
-    use_pallas_coupling: bool = False
+    # Sinkhorn solve runs unrolled in VMEM, R*G graphs per grid instance.
+    # Forward-only, so it requires stop_grad_couplings (the reference's
+    # torch.no_grad semantics) and the square-loss PGD hot path; other
+    # configurations keep the XLA solver. None = auto: on for TPU (measured
+    # 1.69x the XLA solver at the headline shape — BENCH pallas_fgw row),
+    # off elsewhere (interpret mode on CPU is orders slower). Under a
+    # GSPMD mesh the pallas_call runs replicated like the cfconv kernel;
+    # set false to force the XLA solver on multi-chip runs if profiling
+    # shows the replication hurts.
+    use_pallas_coupling: bool | None = None
+
+    def wants_pallas_coupling(self) -> bool:
+        """Resolve the auto mode against the gating conditions."""
+        want = (
+            self.use_pallas_coupling
+            if self.use_pallas_coupling is not None
+            else jax.default_backend() == "tpu"
+        )
+        return bool(
+            want
+            and self.loss_fun == "square_loss"
+            and self.stop_grad_couplings
+        )
 
 
 def normalize_minmax(x: jnp.ndarray, a: float, b: float, eps: float = 0.0) -> jnp.ndarray:
@@ -115,11 +133,7 @@ def fgw_barycenter(
     ppt = jnp.outer(p, p)
     ppt_safe = jnp.where(ppt > 0, ppt, 1.0)
 
-    if (
-        config.use_pallas_coupling
-        and config.loss_fun == "square_loss"
-        and config.stop_grad_couplings
-    ):
+    if config.wants_pallas_coupling():
         from conan_fgw_tpu.ops.pallas.fgw import pallas_fgw_couplings
 
         def solve(Ms_, Cb_, Cks_, qs_, T0_):
@@ -373,11 +387,7 @@ def fgw_barycenter_batch(
         p = jnp.full((B, N), 1.0 / N, Ys.dtype)
     if lambdas is None:
         lambdas = jnp.full((B, K), 1.0 / K, Ys.dtype)
-    if (
-        config.use_pallas_coupling
-        and config.loss_fun == "square_loss"
-        and config.stop_grad_couplings
-    ):
+    if config.wants_pallas_coupling():
         out = _fgw_barycenter_batch_pallas(
             Ys, Cs, ps, p, lambdas, config, return_diverged
         )

@@ -66,6 +66,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def chunk_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a scan-chunk stacked batch ``(chunk, B, ...)``: the scan
+    axis stays whole on every device, the molecule axis (axis 1) shards over
+    the data axis — the stacked analogue of ``batch_sharding``."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_chunk_batch(batch_dict, mesh: Mesh):
+    """Device-put a stacked ``(chunk, B, ...)`` batch with axis 1 sharded.
+
+    Only reachable on single-host meshes (``train/loop.py`` gates the
+    scan-chunk + mesh combination to ``process_count() == 1``), so a plain
+    ``device_put`` suffices — no process-local assembly needed.
+    """
+    sh = chunk_batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch_dict)
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -109,12 +109,13 @@ class ExperimentConfig:
     max_atoms: Optional[int] = None
     bary_pad_mode: str = "reference"
     neighbor_cap_mode: str = "index"
-    # None = auto: fused Pallas cfconv on TPU f32 trunks, XLA elsewhere
-    # (models/schnet.py); true/false forces
+    # None = auto: fused Pallas cfconv on TPU f32/bf16 trunks, XLA elsewhere
+    # (models/schnet.py:142-157); true/false forces
     use_pallas_cfconv: Optional[bool] = None
     # fused Pallas FGW coupling solver (ops/pallas/fgw.py; square-loss PGD
-    # stop-grad path only — other solver configs keep XLA)
-    use_pallas_fgw: bool = False
+    # stop-grad path only — other solver configs keep XLA). None = auto:
+    # on for TPU (1.69x the XLA solver), off elsewhere; true/false forces
+    use_pallas_fgw: Optional[bool] = None
     # bfloat16 GNN trunk (params/FGW solver stay f32): full MXU rate on the
     # cfconv filter MLPs at ~0.6% output deviation
     compute_dtype: str = "float32"

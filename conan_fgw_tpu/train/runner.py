@@ -77,8 +77,8 @@ def build_model(config: ExperimentConfig, stage: str):
         fgw = dataclasses.replace(fgw, pgd_iters=config.fgw_pgd_iters)
     if config.fgw_sinkhorn_iters is not None:
         fgw = dataclasses.replace(fgw, sinkhorn_iters=config.fgw_sinkhorn_iters)
-    if config.use_pallas_fgw:
-        fgw = dataclasses.replace(fgw, use_pallas_coupling=True)
+    if config.use_pallas_fgw is not None:
+        fgw = dataclasses.replace(fgw, use_pallas_coupling=config.use_pallas_fgw)
     common = dict(
         task=spec.task,
         hidden_channels=hidden,
