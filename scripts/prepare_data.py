@@ -471,6 +471,26 @@ def conformer_spectral_dispersion(positions) -> float:
     return float(pair_d[iu].mean()) if iu[0].size else 0.0
 
 
+def conformer_consensus_deviation(positions) -> float:
+    """Mean spectral deviation of each conformer from the ensemble consensus.
+
+    The consensus structure is the mean distance matrix ``D̄`` over stored
+    conformers; the target is ``mean_c ‖λ(D̄) − λ(D_c)‖₂ / n`` — a 1-vs-mean
+    structural deviation, distinct from the pairwise U-statistic of
+    ``conformer_spectral_dispersion`` (same invariance class, different
+    functional — used to test that the solflex dose-response is not a quirk
+    of one label definition, VERDICT r4 #4c).
+    """
+    P = np.asarray(positions, dtype=np.float64)  # (C, n, 3)
+    diff = P[:, :, None, :] - P[:, None, :, :]
+    D = np.sqrt((diff**2).sum(-1))  # (C, n, n)
+    Dbar = D.mean(axis=0)
+    lam_bar = np.sort(np.linalg.eigvalsh(Dbar))
+    lam = np.sort(np.linalg.eigvalsh(D), axis=-1)  # (C, n)
+    n = lam.shape[-1]
+    return float(np.linalg.norm(lam - lam_bar[None, :], axis=-1).mean() / n)
+
+
 def prepare_derived(name, data_root):
     """Builtins derived from the committed sol1k store (no regeneration):
 
@@ -487,8 +507,21 @@ def prepare_derived(name, data_root):
       conformer *pairs* — a mechanism that structurally compares conformers
       to each other (the FGW barycenter branch) is architecturally matched
       to it; a mean of per-conformer embeddings is not.
+    * ``solflex_class`` — discriminative binary twin of solflex (VERDICT r4
+      #3): ``Class = 1`` iff the dispersion is above the train split's
+      MEDIAN (balanced — boundary molecules are genuinely ambiguous, so the
+      ROC has headroom, unlike the ceiling-saturated sol1k_class). The
+      label depends on cross-conformer structure, so this task can
+      adjudicate the FGW branch for classification.
+    * ``solcons`` — consensus-structure regression (VERDICT r4 #4c): the
+      target is the mean per-atom-normalised spectral distance between each
+      conformer and the ensemble's CONSENSUS distance matrix (the mean
+      ``D̄`` over conformers) — dispersion *about the consensus* rather
+      than the pairwise U-statistic, i.e. a second, independent definition
+      of cross-conformer structural signal to test whether the solflex
+      dose-response generalises across label definitions.
     """
-    assert name in ("sol1k_class", "solflex")
+    assert name in ("sol1k_class", "solflex", "solflex_class", "solcons")
     base_dir = os.path.join(data_root, "data", "sol1k")
     if not os.path.isdir(base_dir):
         raise FileNotFoundError(
@@ -523,19 +556,38 @@ def prepare_derived(name, data_root):
             "train_pos_frac": float(np.mean([r["y"] for r in split_rows["train"]])),
         }
     else:
-        target_name = "flex_surrogate"
+        struct_fn = (
+            conformer_consensus_deviation if name == "solcons"
+            else conformer_spectral_dispersion
+        )
         for mode, rows in split_rows.items():
             for r in rows:
                 pos = conf_lib.load_store(
                     os.path.join(base_dir, f"conformers_{mode}"), r["mol_id"]
                 )
-                r["y"] = conformer_spectral_dispersion(pos)
-        mu = float(np.mean([r["y"] for r in split_rows["train"]]))
-        sd = float(np.std([r["y"] for r in split_rows["train"]]))
-        for rows in split_rows.values():
-            for r in rows:
-                r["y"] = (r["y"] - mu) / sd
-        extra = {"train_dispersion_mean": mu, "train_dispersion_std": sd}
+                r["y"] = struct_fn(pos)
+        if name == "solflex_class":
+            target_name = "Class"
+            thresh = float(np.median([r["y"] for r in split_rows["train"]]))
+            for mode, rows in split_rows.items():
+                for r in rows:
+                    r["y"] = int(r["y"] > thresh)
+            extra = {
+                "threshold_dispersion": thresh,
+                "train_pos_frac": float(
+                    np.mean([r["y"] for r in split_rows["train"]])
+                ),
+            }
+        else:
+            target_name = (
+                "cons_surrogate" if name == "solcons" else "flex_surrogate"
+            )
+            mu = float(np.mean([r["y"] for r in split_rows["train"]]))
+            sd = float(np.std([r["y"] for r in split_rows["train"]]))
+            for rows in split_rows.values():
+                for r in rows:
+                    r["y"] = (r["y"] - mu) / sd
+            extra = {"train_dispersion_mean": mu, "train_dispersion_std": sd}
 
     for mode, rows in split_rows.items():
         write_csv(os.path.join(dataset_dir, f"{mode}.csv"), rows, target=target_name)
@@ -597,7 +649,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--download", choices=sorted(DOWNLOADS))
-    g.add_argument("--builtin", choices=["sol250", "sol1k", "sol1k_class", "solflex"])
+    g.add_argument("--builtin", choices=["sol250", "sol1k", "sol1k_class", "solflex", "solflex_class", "solcons"])
     ap.add_argument("--data_root", default=".")
     ap.add_argument(
         "--store_conformers", type=int, default=10,
@@ -607,7 +659,7 @@ def main():
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--prune", action="store_true", help="RDKit pruneRmsThresh=0.5")
     args = ap.parse_args()
-    if args.builtin in ("sol1k_class", "solflex"):
+    if args.builtin in ("sol1k_class", "solflex", "solflex_class", "solcons"):
         prepare_derived(args.builtin, args.data_root)
     elif args.builtin:
         prepare_builtin(args.builtin, args.data_root, args.store_conformers, args.workers)

@@ -101,3 +101,37 @@ def test_solflex(mini_root):
     # requires the sol1k store: missing base dir raises
     with pytest.raises(FileNotFoundError):
         prepare_derived("solflex", os.path.join(mini_root, "nonexistent"))
+
+
+def test_consensus_deviation_invariances():
+    from prepare_data import conformer_consensus_deviation
+
+    rng = np.random.default_rng(1)
+    P = rng.normal(size=(4, 7, 3))
+    d = conformer_consensus_deviation(P)
+    assert d > 0
+    assert np.isclose(conformer_consensus_deviation(P[::-1]), d)
+    perm = rng.permutation(7)
+    # NOT generally atom-permutation invariant per-conformer, but permuting
+    # ALL conformers identically permutes Dbar identically -> invariant
+    assert np.isclose(conformer_consensus_deviation(P[:, perm, :]), d, rtol=1e-9)
+    # identical conformers -> zero deviation from consensus
+    assert conformer_consensus_deviation(np.repeat(P[:1], 4, axis=0)) < 1e-12
+
+
+def test_solflex_class_and_solcons(mini_root):
+    prepare_derived("solflex_class", mini_root)
+    ddir = os.path.join(mini_root, "data", "solflex_class")
+    rows = list(csv.DictReader(open(os.path.join(ddir, "train.csv"))))
+    labels = [int(r["Class"]) for r in rows]
+    assert set(labels) <= {0, 1}
+    # median threshold -> balanced-ish on train
+    assert 0 < sum(labels) < len(labels)
+    assert os.path.islink(os.path.join(ddir, "conformers_train"))
+
+    prepare_derived("solcons", mini_root)
+    cdir = os.path.join(mini_root, "data", "solcons")
+    crows = list(csv.DictReader(open(os.path.join(cdir, "train.csv"))))
+    ys = np.array([float(r["cons_surrogate"]) for r in crows])
+    # standardised by train stats
+    assert abs(ys.mean()) < 1e-6 and abs(ys.std() - 1.0) < 1e-6
