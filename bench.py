@@ -238,6 +238,38 @@ def measure_baseline() -> float:
     return step_s
 
 
+DIMENET_BASELINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_baseline_dimenet.json"
+)
+
+
+def measure_dimenet_baseline() -> float:
+    """Reference-style CPU DimeNet seconds/graph at the dimenet_n96 shape
+    (cached across rounds) — the denominator VERDICT r4 #6 asked for.
+
+    Measured on ONE molecule (x K conformer graphs) and extrapolated: the
+    reference pipeline is an independent per-molecule Python loop, so
+    per-molecule step cost is constant in batch size (a full-batch-8 torch
+    measurement costs ~7 CPU-minutes per step on this host — ~50 s/molecule;
+    the 1-molecule measurement is the same quantity at 1/8 the wall time).
+    Returns seconds per batch-8 step equivalent (8 * per-molecule seconds).
+    """
+    if os.path.exists(DIMENET_BASELINE_CACHE):
+        with open(DIMENET_BASELINE_CACHE) as f:
+            return json.load(f)["step_s"]
+    from conan_fgw_tpu.bench_baseline import measure_reference_dimenet_step
+    from conan_fgw_tpu.data.synthetic import random_dataset
+
+    recs = random_dataset(42, 1, num_conformers=K, heavy_range=(36, 42))
+    mols = [(r.z, r.pos, r.x2d, r.bonds, r.bond_attr, r.y) for r in recs]
+    step_s = 8 * measure_reference_dimenet_step(mols, steps=1)
+    with open(DIMENET_BASELINE_CACHE, "w") as f:
+        json.dump({"step_s": step_s, "B": 8, "K": K, "max_atoms": 96,
+                   "measured_molecules": 1, "extrapolated_to_batch": 8,
+                   "host": os.uname().nodename}, f)
+    return step_s
+
+
 def _emit(headline: dict, detail: dict, vs: float | None, base_gps: float | None) -> None:
     """Print the full record as one JSON line and flush — called after every
     completed row so the driver's tail always ends with the best-known state.
@@ -429,12 +461,20 @@ def main():
     # ~9x more (models/dimenet.py).
     def _dimenet():
         m = _measure_subprocess(8, "float32", 96, backbone="dimenet")
-        return {
+        r = {
             "batch": 8, "max_atoms": 96,
             "step_s": round(m["step_s"], 5),
             "graphs_per_s": round(m["graphs_per_s"], 1),
             "flags": m.get("flags"),
         }
+        try:  # CPU torch denominator, cached across rounds (VERDICT r4 #6)
+            base_s = measure_dimenet_baseline()
+            base_gps_d = 8 * K / base_s
+            r["baseline_graphs_per_s"] = round(base_gps_d, 2)
+            r["vs_baseline"] = round(m["graphs_per_s"] / base_gps_d, 1)
+        except Exception as e:  # noqa: BLE001
+            r["baseline_error"] = str(e)[:160]
+        return r
 
     # the same molecules padded to the pre-bucketing dataset-max width: the
     # production fit() path avoids this padding waste via atom-count buckets

@@ -62,11 +62,18 @@ class FGWConfig:
 
     def wants_pallas_coupling(self) -> bool:
         """Resolve the auto mode against the gating conditions."""
-        want = (
-            self.use_pallas_coupling
-            if self.use_pallas_coupling is not None
-            else jax.default_backend() == "tpu"
-        )
+        if self.use_pallas_coupling is None:
+            # auto: TPU only, and only at reference-scale solver budgets —
+            # the unrolled kernel is chip-validated at 5/5/5; deep research
+            # budgets (e.g. the 10x10 sweep arm) keep more VMEM live and
+            # blow the per-instance envelope, so they keep the XLA solver
+            # unless the kernel is forced with use_pallas_coupling=True
+            want = (
+                jax.default_backend() == "tpu"
+                and self.pgd_iters * self.sinkhorn_iters <= 30
+            )
+        else:
+            want = self.use_pallas_coupling
         return bool(
             want
             and self.loss_fun == "square_loss"

@@ -292,6 +292,15 @@ def pallas_fgw_couplings_flat(Ms, C1s, C2s, ps, qs, T0s, *, alpha, epsilon,
         R = int(tile_rows)
     else:
         R = max(1, min(32 // G, -(-S // G)))
+        # VMEM budget: per row-group the instance holds 2 block-diagonal
+        # (GN, GN) operands + ~6 live (N, GN) wides, double-buffered across
+        # the grid — R=16 at N=64 buckets overflowed the v5e's VMEM when
+        # compiled alongside the cfconv kernel (protocol r5 OOM), R=8 is the
+        # chip-validated envelope. Deep solver budgets (large unrolls) keep
+        # more temporaries live; halve again.
+        R = min(R, 8)
+        if pgd_iters * sinkhorn_iters > 30:
+            R = max(1, R // 2)
     per_inst = R * G
     f32 = jnp.float32
     Ms, C1s, C2s, T0s, ps, qs = (

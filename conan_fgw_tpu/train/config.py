@@ -122,6 +122,9 @@ class ExperimentConfig:
     # dispatch-amortised scan-chunked training (TrainSettings.scan_chunk);
     # 0 = per-step bit-exact parity path, the default. Protocol configs set 8.
     scan_chunk: int = 0
+    # opt-in eval-side non-finite/outlier prediction guard (the ViSNet
+    # stage-2 run-2 divergence detector — TrainSettings.eval_guard)
+    eval_guard: bool = False
 
     @property
     def spec(self) -> ExperimentSpec:

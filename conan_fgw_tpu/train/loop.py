@@ -29,6 +29,13 @@ from conan_fgw_tpu.train import metrics as metrics_lib
 
 log = logging.getLogger("conan_fgw_tpu")
 
+# eval-guard outlier threshold, in label standard deviations. The run-2
+# ViSNet divergence emitted ~1.5e9 on ~N(0,1) labels (>1e9 sigmas); 50 is
+# far outside anything a trained regressor produces legitimately while
+# never triggering on ordinary bad fits (whose predictions stay within a
+# few label sigmas).
+GUARD_SIGMAS = 50.0
+
 
 @dataclasses.dataclass
 class TrainSettings:
@@ -67,9 +74,19 @@ class TrainSettings:
     # Setting >1 removes per-step host→device dispatch latency, which
     # dominates wall time on remote/tunneled TPUs (~70ms dispatch vs ~4ms
     # device compute at the sol250 protocol shapes); the sol* protocol
-    # configs enable 8 explicitly (`scan_chunk: 8` YAML key). 0/1 disables;
-    # single-process only (mesh/multi-host runs always use per-step).
+    # configs enable 8 explicitly (`scan_chunk: 8` YAML key). 0/1 disables.
+    # Composes with a single-host mesh (chunk sharded over axis 1);
+    # multi-process runs always use per-step dispatch.
     scan_chunk: int = 0
+    # opt-in eval-side prediction guard (ViSNet stage-2 run-2 divergence,
+    # RESULTS.md round-4 †: one molecule deterministically emits a ~1.5e9
+    # prediction through a 1e11 trunk activation). When on, evaluate()
+    # flags non-finite predictions and regression predictions further than
+    # GUARD_SIGMAS label-standard-deviations from the label mean, reports
+    # the count as `pred_outliers` (+ guarded mse/rmse excluding them) in
+    # the metrics, and warns with the offending indices — silent-garbage
+    # detection, not silent exclusion: the unguarded rmse stays reported.
+    eval_guard: bool = False
     # scan-chunking for the barycenter stage. Round 3 observed one anecdote
     # of a 2-step scanned stage-2 chunk taking 339s on the tunneled v5e and
     # gated this off; the round-4 probe (scripts/probe_scan_barycenter.py,
@@ -354,6 +371,23 @@ def evaluate(
     if n_div:
         log.warning("FGW solver: %d Sinkhorn-diverged coupling solves rolled "
                     "back during evaluation", n_div)
+    if settings.eval_guard:
+        bad = ~np.isfinite(pred)
+        if settings.task == "regression":
+            scale = max(float(np.std(y)), 1e-6)
+            bad |= np.abs(pred - float(np.mean(y))) > GUARD_SIGMAS * scale
+        out["pred_outliers"] = int(bad.sum())
+        if bad.any():
+            log.warning(
+                "eval guard: %d outlier prediction(s) at split indices %s "
+                "(max |pred| %.3e vs label scale %.3e) — guarded metrics "
+                "exclude them, unguarded metrics keep them",
+                int(bad.sum()), np.flatnonzero(bad)[:16].tolist(),
+                float(np.max(np.abs(pred[bad]))), float(np.std(y)),
+            )
+            if settings.task == "regression" and (~bad).any():
+                out["mse_guarded"] = metrics_lib.mse(pred[~bad], y[~bad])
+                out["rmse_guarded"] = metrics_lib.rmse(pred[~bad], y[~bad])
     if settings.task == "regression":
         out["mse"] = metrics_lib.mse(pred, y)
         out["rmse"] = metrics_lib.rmse(pred, y)

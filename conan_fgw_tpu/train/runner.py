@@ -133,6 +133,7 @@ def build_settings(config: ExperimentConfig, stage: str, loss_scale=None) -> loo
         es_min_delta=config.es_min_delta,
         max_atoms=config.max_atoms,
         scan_chunk=config.scan_chunk,
+        eval_guard=config.eval_guard,
         **plateau,
     )
 
@@ -375,6 +376,12 @@ def main(argv=None):
         "(default: hard error, matching the reference)",
     )
     ap.add_argument(
+        "--eval_guard", action="store_true",
+        help="flag non-finite/outlier predictions at eval time and report "
+        "pred_outliers (+ guarded rmse) per run — the ViSNet stage-2 "
+        "divergence detector (TrainSettings.eval_guard)",
+    )
+    ap.add_argument(
         "--profile_dir", default=None,
         help="capture a jax.profiler device trace of the fit into this directory",
     )
@@ -405,6 +412,8 @@ def main(argv=None):
     enable_compilation_cache()
 
     overrides = {"model_name": args.model_name} if args.model_name else {}
+    if args.eval_guard:
+        overrides["eval_guard"] = True
     config = load_config(args.config, **overrides)
     build_logger(
         os.path.join(args.logs_dir, args.run_name, args.run_id, f"run_{args.stage}", "log.txt")
