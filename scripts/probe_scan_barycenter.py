@@ -3,9 +3,12 @@
 Round 3 observed one anecdote: wrapping the stage-2 (FGW barycenter) train
 step — itself nested ``lax.scan``s — in an outer ``lax.scan`` of 2 steps took
 339 s end-to-end on the tunneled v5e, vs ~4 ms/step unscanned; stage-1 scan
-chunks are fine. ``TrainSettings.scan_barycenter`` therefore defaults False.
-This probe turns the anecdote into a recorded measurement: it times, on the
-current backend,
+chunks are fine, and round 3 gated ``scan_barycenter`` off on that anecdote.
+Round-4 outcome: this probe could NOT reproduce the pathology (scan8 ran
+8.9 ms/step vs 10.0 per-step, compiles ~11 s — PARITY.md table); the
+anecdote was transient tunnel degradation and ``TrainSettings.
+scan_barycenter`` now defaults True. The probe times, on the current
+backend,
 
   * the per-step stage-2 path (chained, device-fetch completion barrier),
   * a scanned chunk of 2 and of 8 stage-2 steps (compile and run separately),

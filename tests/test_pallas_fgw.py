@@ -89,3 +89,28 @@ def test_gradients_flow_and_match():
     np.testing.assert_allclose(
         np.asarray(g_pal), np.asarray(g_xla), atol=1e-4, rtol=1e-3
     )
+
+
+def test_couplings_match_xla_other_tile_shapes():
+    """The protocol buckets hit N=64 (G=2 lane-graphs) and DimeNet N=96
+    (G=1, wide==tall degenerate path) — parity at both tilings."""
+    for n, s in ((64, 5), (96, 3)):
+        rng = np.random.default_rng(n)
+        Ms = jnp.asarray(rng.random((s, n, n)) * 2, jnp.float32)
+        Cs = (rng.random((s, n, n)) > 0.7).astype(np.float32)
+        Cs = jnp.asarray(np.maximum(Cs, Cs.transpose(0, 2, 1)))
+        p = jnp.full((s, n), 1.0 / n, jnp.float32)
+        T0 = jnp.einsum("si,sj->sij", p, p)
+        from conan_fgw_tpu.ops.pallas.fgw import pallas_fgw_couplings_flat
+
+        Tp, flags = pallas_fgw_couplings_flat(Ms, Cs, Cs, p, p, T0, **KW)
+        Tx = jax.vmap(
+            lambda M, c2, q, t0, c1: fgw_coupling(
+                M, c1, c2, q, q, t0, loss_fun="square_loss", symmetric=True,
+                **KW,
+            )
+        )(Ms, Cs, p, T0, Cs)
+        assert int(flags.sum()) == 0
+        np.testing.assert_allclose(
+            np.asarray(Tp), np.asarray(Tx), atol=2e-5, rtol=1e-4
+        )
