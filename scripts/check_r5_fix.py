@@ -2,7 +2,10 @@
 auto fallback): compile+run exactly the two programs that OOMed in the r5
 queue — a classification stage-1/2-style init (cfconv + FGW kernels in one
 program at filters=256, N=64) and an N=64-bucket stage-2 train step."""
-import dataclasses, json, sys
+import dataclasses, json, os, sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax, jax.numpy as jnp
