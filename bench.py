@@ -63,6 +63,7 @@ def _measure(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
     use_pallas: bool | None = None, backbone: str = "schnet",
     use_barycenter: bool = True, use_pallas_fgw: bool | None = None,
+    scan_chunk: int = 0,
 ) -> dict:
     """Honest per-step time via the slope method.
 
@@ -108,7 +109,25 @@ def _measure(
         )
     settings = loop_lib.TrainSettings(use_barycenter=use_barycenter, batch_size=batch_size)
     state = loop_lib.init_state(model, settings, batch)
-    train_step, _ = loop_lib.make_step_fns(model, settings)
+    if scan_chunk > 1:
+        # dispatch-amortised production path: ONE device dispatch per
+        # scan_chunk steps (train/loop.py::make_multi_step — the fit() path
+        # protocol configs run with `scan_chunk: 8`). Per-step time from this
+        # mode is (almost) pure compute; the headline minus this is the
+        # per-step dispatch overhead of the tunneled chip.
+        multi = loop_lib.make_multi_step(model, settings)
+        stacked = loop_lib._stack_batches(  # noqa: SLF001 — bench-only reuse
+            [pack(random_dataset(42 + i, batch_size, num_conformers=K,
+                                 heavy_range=heavy), max_atoms=n_atoms,
+                  batch_size=batch_size) for i in range(scan_chunk)]
+        )
+        sbatch = PackedBatch(**jax.tree.map(jnp.asarray, dataclasses.asdict(stacked)))
+
+        def train_step(st, _b):  # chain() below feeds `batch`; ignore it
+            st, losses, divs = multi(st, sbatch)
+            return st, losses[-1], divs
+    else:
+        train_step, _ = loop_lib.make_step_fns(model, settings)
 
     t_compile0 = time.perf_counter()
     state, loss, _ = train_step(state, batch)
@@ -171,6 +190,8 @@ def _measure(
             break
     assert slopes, "all slope estimates were non-positive (tunnel too noisy)"
     step_s = float(np.median(slopes))
+    if scan_chunk > 1:  # each chained call ran scan_chunk train steps
+        step_s /= scan_chunk
     assert np.isfinite(step_s) and step_s > 0, f"invalid step_s {step_s}"
     assert np.isfinite(last), "benchmark train step produced non-finite loss"
     # self-describing flags: the RESOLVED auto-mode decisions this
@@ -187,7 +208,9 @@ def _measure(
             (use_pallas_fgw if use_pallas_fgw is not None else on_tpu)
             and use_barycenter
         ),
-        "scan_chunk": 0,  # bench steps dispatch per-step (parity path)
+        # 0 = per-step dispatch (parity path); >1 = the dispatch-amortised
+        # lax.scan production path (what protocol configs run)
+        "scan_chunk": scan_chunk,
         "use_barycenter": use_barycenter,
     }
     return {
@@ -206,6 +229,7 @@ def _measure_subprocess(
     batch_size: int, compute_dtype: str = "float32", n_atoms: int = N_ATOMS,
     use_pallas: bool | None = None, backbone: str = "schnet",
     use_barycenter: bool = True, use_pallas_fgw: bool | None = None,
+    scan_chunk: int = 0,
 ) -> dict:
     """Each measurement in a fresh process: this environment's device tunnel
     degrades ~100x for any executable after the first one in a process."""
@@ -218,7 +242,7 @@ def _measure_subprocess(
     res = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure", str(batch_size),
          compute_dtype, str(n_atoms), pallas_arg, backbone,
-         str(int(use_barycenter)), pfgw_arg],
+         str(int(use_barycenter)), pfgw_arg, str(scan_chunk)],
         capture_output=True, text=True, check=True, timeout=timeout,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
@@ -408,7 +432,8 @@ def main():
     known_keys = {
         "pallas_fgw", "xla_cfconv", "large_batch", "dimenet_n96",
         "xla_large_batch_f32", "large_batch_f32", "unbucketed_n64",
-        "mixed_precision", "stage1_no_barycenter",
+        "mixed_precision", "stage1_no_barycenter", "scan_chunk8",
+        "scan_chunk8_bf16",
     }
     # rows whose semantics were retired (e.g. pallas_* rows from before the
     # Pallas-by-default flip) must not linger as stale cached entries, and
@@ -556,8 +581,41 @@ def main():
             "flags": m.get("flags"),
         }
 
+    # the dispatch-amortised production path (scan_chunk=8, what protocol
+    # configs actually run): per-step time here is ~pure compute, so the
+    # delta vs the per-step headline IS the dispatch overhead — the evidence
+    # behind the "dispatch-bound" claim (VERDICT r4 #8), and the f32/bf16
+    # pair below shows whether bf16 wins once dispatch is amortised away
+    def _scan8():
+        m = _measure_subprocess(B, "float32", scan_chunk=8)
+        return {
+            "scan_chunk": 8,
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "dispatch_share_of_headline_step": round(
+                min(1.0, max(0.0, 1.0 - m["step_s"] / headline["step_s"])), 3
+            ),
+            "flags": m.get("flags"),
+        }
+
+    def _scan8_bf16():
+        m = _measure_subprocess(B, "bfloat16", scan_chunk=8)
+        r = {
+            "scan_chunk": 8,
+            "compute_dtype": "bfloat16",
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "flags": m.get("flags"),
+        }
+        ref = detail.get("scan_chunk8", {}).get("graphs_per_s")
+        if ref:
+            r["vs_scan8_f32"] = round(m["graphs_per_s"] / ref, 3)
+        return r
+
     all_rows = [
         ("pallas_fgw", 120, _pallas_fgw),
+        ("scan_chunk8", 120, _scan8),
+        ("scan_chunk8_bf16", 120, _scan8_bf16),
         ("xla_cfconv", 120, _xla_cfconv),
         ("large_batch", 150, _big),
         ("dimenet_n96", 240, _dimenet),
@@ -587,9 +645,10 @@ if __name__ == "__main__":
         use_bary = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
         raw_pfgw = sys.argv[8] if len(sys.argv) > 8 else "a"
         use_pfgw = None if raw_pfgw == "a" else bool(int(raw_pfgw))
+        scan_chunk = int(sys.argv[9]) if len(sys.argv) > 9 else 0
         print(json.dumps(
             _measure(int(sys.argv[2]), dtype, n_atoms, use_pallas, backbone,
-                     use_bary, use_pfgw)
+                     use_bary, use_pfgw, scan_chunk)
         ))
     else:
         main()
