@@ -100,6 +100,7 @@ def _measure(
     if backbone == "dimenet":
         model = ConanModel(
             backbone_name="dimenet", cutoff=5.0, bary_shift=0.5,
+            compute_dtype=compute_dtype,
             fgw=FGWConfig(alpha=0.5, fixed_structure=True),
         )
     else:
@@ -433,7 +434,7 @@ def main():
         "pallas_fgw", "xla_cfconv", "large_batch", "dimenet_n96",
         "xla_large_batch_f32", "large_batch_f32", "unbucketed_n64",
         "mixed_precision", "stage1_no_barycenter", "scan_chunk8",
-        "scan_chunk8_bf16",
+        "scan_chunk8_bf16", "dimenet_n96_bf16",
     }
     # rows whose semantics were retired (e.g. pallas_* rows from before the
     # Pallas-by-default flip) must not linger as stale cached entries, and
@@ -499,6 +500,24 @@ def main():
             r["vs_baseline"] = round(m["graphs_per_s"] / base_gps_d, 1)
         except Exception as e:  # noqa: BLE001
             r["baseline_error"] = str(e)[:160]
+        return r
+
+    # DimeNet with bf16 triplet intermediates (models/dimenet.py
+    # compute_dtype): the PARITY.md roofline says this shape is HBM-bound by
+    # the N·M² triplet activations, so halving their bytes is the only
+    # headroom — this row measures how much of the theoretical 2x arrives
+    def _dimenet_bf16():
+        m = _measure_subprocess(8, "bfloat16", 96, backbone="dimenet")
+        r = {
+            "batch": 8, "max_atoms": 96,
+            "compute_dtype": "bfloat16",
+            "step_s": round(m["step_s"], 5),
+            "graphs_per_s": round(m["graphs_per_s"], 1),
+            "flags": m.get("flags"),
+        }
+        ref = detail.get("dimenet_n96", {}).get("graphs_per_s")
+        if ref:
+            r["vs_f32"] = round(m["graphs_per_s"] / ref, 3)
         return r
 
     # the same molecules padded to the pre-bucketing dataset-max width: the
@@ -619,6 +638,7 @@ def main():
         ("xla_cfconv", 120, _xla_cfconv),
         ("large_batch", 150, _big),
         ("dimenet_n96", 240, _dimenet),
+        ("dimenet_n96_bf16", 240, _dimenet_bf16),
         ("xla_large_batch_f32", 150, _xla_big_f32),
         ("large_batch_f32", 150, _big_f32),
         ("unbucketed_n64", 120, _unbucketed),

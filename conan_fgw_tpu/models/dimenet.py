@@ -112,11 +112,14 @@ def envelope(x: jnp.ndarray, p: int) -> jnp.ndarray:
 
 class ResidualLayer(nn.Module):
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
-        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(h))
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
+                             dtype=self.dtype)(x))
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
+                             dtype=self.dtype)(h))
         return x + h
 
 
@@ -136,20 +139,30 @@ class InteractionBlock(nn.Module):
     num_radial: int
     num_before_skip: int
     num_after_skip: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, rbf, sbf, slot, tmask, idx):
         """x: (G, N, M, H) edge states [target i, neighbor slot m]; rbf:
         (G, N, M, R); sbf: (G, N, M, M, S*R) for triplets (i, m→j, m'→k);
         slot (G, N, M) valid-slot mask; tmask (G, N, M, M) triplet mask;
-        idx (G, N, M) neighbor indices (j = idx[i, m])."""
+        idx (G, N, M) neighbor indices (j = idx[i, m]).
+
+        With ``dtype=bfloat16`` the N·M² triplet tensors (``x_kj_g``,
+        ``sbf``, the bilinear contraction) are half-width — the row this
+        backbone's HBM-bandwidth roofline says is the only headroom
+        (PARITY.md; params and MXU accumulation stay f32)."""
         m = slot[..., None].astype(x.dtype)
-        rbf_h = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal)(rbf)
+        rbf_h = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal,
+                         dtype=self.dtype)(rbf)
         sbf_b = nn.Dense(
-            self.num_bilinear, use_bias=False, kernel_init=glorot_orthogonal
+            self.num_bilinear, use_bias=False, kernel_init=glorot_orthogonal,
+            dtype=self.dtype,
         )(sbf)
-        x_ji = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
-        x_kj = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
+        x_ji = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
+                                dtype=self.dtype)(x))
+        x_kj = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
+                                dtype=self.dtype)(x))
         x_kj = x_kj * rbf_h
         w = self.param(
             "bilinear",
@@ -160,15 +173,16 @@ class InteractionBlock(nn.Module):
         # gather j's slot rows up to (i, m) and contract over m'
         x_kj_g = _gather_rows(x_kj, idx)  # (G, N, M, M, H)
         s1 = jnp.einsum(
-            "gimkb,gimkl,gimk->gimbl", sbf_b, x_kj_g, tmask.astype(x.dtype)
+            "gimkb,gimkl,gimk->gimbl", sbf_b, x_kj_g, tmask.astype(x_kj_g.dtype)
         )
-        agg = jnp.einsum("gimbl,hbl->gimh", s1, w)
+        agg = jnp.einsum("gimbl,hbl->gimh", s1, w.astype(s1.dtype))
         h = (x_ji + agg) * m
         for _ in range(self.num_before_skip):
-            h = ResidualLayer(self.hidden)(h) * m
-        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(h)) + x
+            h = ResidualLayer(self.hidden, dtype=self.dtype)(h) * m
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
+                             dtype=self.dtype)(h)) + x
         for _ in range(self.num_after_skip):
-            h = ResidualLayer(self.hidden)(h) * m
+            h = ResidualLayer(self.hidden, dtype=self.dtype)(h) * m
         return h * m
 
 
@@ -177,12 +191,16 @@ class OutputBlock(nn.Module):
     out_channels: int
     num_radial: int
     num_layers: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, rbf, slot):
-        g = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal)(rbf)
+        g = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal,
+                     dtype=self.dtype)(rbf)
         per_edge = g * x * slot[..., None].astype(x.dtype)
-        node = jnp.sum(per_edge, axis=-2)  # sum over neighbor slots → target i
+        # slot-sum in f32: the per-node accumulation feeds every downstream
+        # branch (3D readout AND the FGW features), keep it full precision
+        node = jnp.sum(per_edge.astype(jnp.float32), axis=-2)
         for _ in range(self.num_layers):
             node = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(node))
         return nn.Dense(self.out_channels, use_bias=False, kernel_init=xavier)(node)
@@ -204,6 +222,10 @@ class DimeNet3D(nn.Module):
     num_output_layers: int = 3
     max_neighbors: int = 32
     remat: bool = True
+    # "bfloat16" halves the N·M² triplet-activation HBM traffic this
+    # backbone's roofline is bound by (PARITY.md DimeNet bound); bases,
+    # params, slot-sums, and node outputs stay f32
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.embedding = nn.Embed(
@@ -219,11 +241,13 @@ class DimeNet3D(nn.Module):
             "bessel_freq",
             lambda _: (jnp.arange(1, self.num_radial + 1, dtype=jnp.float32) * math.pi),
         )
+        cdtype = jnp.dtype(self.compute_dtype)
         block = nn.remat(InteractionBlock) if self.remat else InteractionBlock
         self.blocks = [
             block(
                 self.hidden_channels, self.num_bilinear, self.num_spherical,
                 self.num_radial, self.num_before_skip, self.num_after_skip,
+                dtype=cdtype,
             )
             for _ in range(self.num_blocks)
         ]
@@ -231,7 +255,7 @@ class DimeNet3D(nn.Module):
         self.outputs = [
             OutputBlock(
                 self.hidden_channels, out_ch, self.num_radial,
-                self.num_output_layers,
+                self.num_output_layers, dtype=cdtype,
             )
             for _ in range(self.num_blocks + 1)
         ]
@@ -320,10 +344,15 @@ class DimeNet3D(nn.Module):
         )
         x = nn.silu(self.edge_emb_dense(e)) * slot[..., None].astype(pos.dtype)
 
-        p_node = self.outputs[0](x, rbf, slot)
+        # bases are computed in f32 (transcendentals); the block loop runs in
+        # compute_dtype so the N·M² triplet tensors are half-width in bf16
+        # mode. OutputBlock slot-sums back to f32, so p_node stays f32.
+        cdtype = jnp.dtype(self.compute_dtype)
+        x, rbf_c, sbf = x.astype(cdtype), rbf.astype(cdtype), sbf.astype(cdtype)
+        p_node = self.outputs[0](x, rbf_c, slot)
         for blk, out in zip(self.blocks, self.outputs[1:]):
-            x = blk(x, rbf, sbf, slot, tmask, idx)
-            p_node = p_node + out(x, rbf, slot)
+            x = blk(x, rbf_c, sbf, slot, tmask, idx)
+            p_node = p_node + out(x, rbf_c, slot)
         p_node = p_node * mask[..., None].astype(pos.dtype)
         return p_node.reshape(*lead, n, -1), nbr.reshape(*lead, n, n)
 

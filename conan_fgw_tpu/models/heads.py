@@ -127,6 +127,7 @@ class ConanModel(nn.Module):
                 out_channels=half,
                 cutoff=self.cutoff,
                 max_neighbors=self.max_neighbors,
+                compute_dtype=self.compute_dtype,
             )
         else:
             raise ValueError(f"unknown backbone {self.backbone_name!r}")

@@ -84,6 +84,45 @@ class TestDimeNet:
             assert out.shape == (2, 1) and np.isfinite(out).all()
 
 
+class TestBF16Triplets:
+    def test_bf16_matches_f32(self):
+        """compute_dtype='bfloat16' halves the N·M² triplet-tensor bytes
+        (the backbone's HBM roofline lever, PARITY.md) without changing the
+        param tree, and its outputs track f32 within bf16 tolerance."""
+        recs = random_dataset(7, 2, num_conformers=2, heavy_range=(4, 6))
+        batch = _batch(recs)
+        B, K, N = batch.z.shape
+        z = batch.z.reshape(B * K, N)
+        pos = batch.pos.reshape(B * K, N, 3)
+        mask = jnp.repeat(batch.atom_mask, K, axis=0)
+        f32 = DimeNet3D(**SMALL)
+        b16 = DimeNet3D(**SMALL, compute_dtype="bfloat16")
+        params = f32.init(jax.random.PRNGKey(0), z, pos, mask)
+        # identical param tree: bf16 mode is checkpoint-compatible
+        chex_shapes = jax.tree.map(lambda a: (a.shape, a.dtype), params)
+        assert chex_shapes == jax.tree.map(
+            lambda a: (a.shape, a.dtype), b16.init(jax.random.PRNGKey(0), z, pos, mask)
+        )
+        a = np.asarray(f32.apply(params, z, pos, mask))
+        b = np.asarray(b16.apply(params, z, pos, mask)).astype(np.float32)
+        assert b.dtype == np.float32  # node outputs stay f32
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 0.05  # bf16 trunk drift bound
+
+    def test_bf16_grads_finite(self):
+        recs = random_dataset(8, 1, num_conformers=1, heavy_range=(4, 5))
+        batch = _batch(recs)
+        B, K, N = batch.z.shape
+        z = batch.z.reshape(B * K, N)
+        pos = batch.pos.reshape(B * K, N, 3)
+        mask = jnp.repeat(batch.atom_mask, K, axis=0)
+        model = DimeNet3D(**SMALL, compute_dtype="bfloat16")
+        params = model.init(jax.random.PRNGKey(0), z, pos, mask)
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, z, pos, mask) ** 2))(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
 class TestSlotLayoutParity:
     def test_matches_dense_golden(self):
         """The neighbor-slot (N·M²) formulation reproduces the dense N³
