@@ -26,6 +26,15 @@ from conan_fgw_tpu.ops.rbf import gaussian_smearing, shifted_softplus
 
 xavier = nn.initializers.xavier_uniform()
 
+# Pallas cfconv VMEM gate: the fused backward keeps several (N, N, F) f32
+# tiles on the kernel stack at once, and the TPU scoped-VMEM limit is 16 MiB.
+# Measured bounds: N=64, F=128 compiles and runs (the bench's unbucketed_n64
+# row, N²·F = 524k elements); N=64, F=256 (the classification registry shape)
+# OOMs at 18.04 MiB (r5 queue, blocks_2 backward). Gate on N²·F elements with
+# headroom below the measured failure; above it the block falls back to the
+# XLA formulation, which has no such limit.
+CFCONV_PALLAS_MAX_N2F = 600_000
+
 
 class InteractionBlock(nn.Module):
     """One continuous-filter convolution block (PyG ``InteractionBlock``).
@@ -71,6 +80,10 @@ class InteractionBlock(nn.Module):
             and pos is not None
             and atom_mask is not None
             and not self.is_initializing()
+            # scoped-VMEM envelope of the fused backward (see
+            # CFCONV_PALLAS_MAX_N2F): large buckets × wide filters fall back
+            # to XLA instead of failing to compile
+            and x.shape[-2] ** 2 * self.num_filters <= CFCONV_PALLAS_MAX_N2F
         )
         if fused:
             from conan_fgw_tpu.ops.pallas.cfconv import fused_cfconv
