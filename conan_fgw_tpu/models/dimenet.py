@@ -148,21 +148,25 @@ class InteractionBlock(nn.Module):
         slot (G, N, M) valid-slot mask; tmask (G, N, M, M) triplet mask;
         idx (G, N, M) neighbor indices (j = idx[i, m]).
 
-        With ``dtype=bfloat16`` the N·M² triplet tensors (``x_kj_g``,
-        ``sbf``, the bilinear contraction) are half-width — the row this
-        backbone's HBM-bandwidth roofline says is the only headroom
-        (PARITY.md; params and MXU accumulation stay f32)."""
+        With ``dtype=bfloat16`` ONLY the N·M² triplet tensors (the gathered
+        ``x_kj_g``, ``sbf`` and its bilinear projection) are half-width —
+        they carry the HBM traffic this backbone's roofline is bound by
+        (PARITY.md), while the contractions accumulate in f32
+        (``preferred_element_type``) and the M-sized edge-state chain
+        (residuals, skips, outputs) stays f32 throughout. Running the whole
+        block chain in bf16 was tried first and overflows at dense-
+        neighborhood shapes (the N=96 bench molecules saturate all 32
+        neighbor slots, so per-edge triplet sums grow ~30x per block from
+        init and the compounded bf16 range tips to inf during training)."""
         m = slot[..., None].astype(x.dtype)
-        rbf_h = nn.Dense(self.hidden, use_bias=False, kernel_init=glorot_orthogonal,
-                         dtype=self.dtype)(rbf)
+        rbf_h = nn.Dense(self.hidden, use_bias=False,
+                         kernel_init=glorot_orthogonal)(rbf)
         sbf_b = nn.Dense(
             self.num_bilinear, use_bias=False, kernel_init=glorot_orthogonal,
             dtype=self.dtype,
-        )(sbf)
-        x_ji = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
-                                dtype=self.dtype)(x))
-        x_kj = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
-                                dtype=self.dtype)(x))
+        )(sbf.astype(self.dtype))
+        x_ji = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
+        x_kj = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(x))
         x_kj = x_kj * rbf_h
         w = self.param(
             "bilinear",
@@ -170,19 +174,20 @@ class InteractionBlock(nn.Module):
             (self.hidden, self.num_bilinear, self.hidden),
         )
         # sum over neighbours k of j: edge (k->j) lives at slot (j, m'), so
-        # gather j's slot rows up to (i, m) and contract over m'
-        x_kj_g = _gather_rows(x_kj, idx)  # (G, N, M, M, H)
+        # gather j's slot rows up to (i, m) and contract over m'. The gather
+        # materialises the (G, N, M, M, H) monster — half-width in bf16 mode
+        x_kj_g = _gather_rows(x_kj.astype(self.dtype), idx)
         s1 = jnp.einsum(
-            "gimkb,gimkl,gimk->gimbl", sbf_b, x_kj_g, tmask.astype(x_kj_g.dtype)
+            "gimkb,gimkl,gimk->gimbl", sbf_b, x_kj_g,
+            tmask.astype(self.dtype), preferred_element_type=jnp.float32,
         )
-        agg = jnp.einsum("gimbl,hbl->gimh", s1, w.astype(s1.dtype))
+        agg = jnp.einsum("gimbl,hbl->gimh", s1, w)
         h = (x_ji + agg) * m
         for _ in range(self.num_before_skip):
-            h = ResidualLayer(self.hidden, dtype=self.dtype)(h) * m
-        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal,
-                             dtype=self.dtype)(h)) + x
+            h = ResidualLayer(self.hidden)(h) * m
+        h = nn.silu(nn.Dense(self.hidden, kernel_init=glorot_orthogonal)(h)) + x
         for _ in range(self.num_after_skip):
-            h = ResidualLayer(self.hidden, dtype=self.dtype)(h) * m
+            h = ResidualLayer(self.hidden)(h) * m
         return h * m
 
 
@@ -223,8 +228,9 @@ class DimeNet3D(nn.Module):
     max_neighbors: int = 32
     remat: bool = True
     # "bfloat16" halves the N·M² triplet-activation HBM traffic this
-    # backbone's roofline is bound by (PARITY.md DimeNet bound); bases,
-    # params, slot-sums, and node outputs stay f32
+    # backbone's roofline is bound by (PARITY.md DimeNet bound); everything
+    # except those gathered triplet tensors — bases, params, the M-sized
+    # edge-state chain, slot-sums, node outputs — stays f32
     compute_dtype: str = "float32"
 
     def setup(self):
@@ -255,7 +261,7 @@ class DimeNet3D(nn.Module):
         self.outputs = [
             OutputBlock(
                 self.hidden_channels, out_ch, self.num_radial,
-                self.num_output_layers, dtype=cdtype,
+                self.num_output_layers,
             )
             for _ in range(self.num_blocks + 1)
         ]
@@ -344,15 +350,14 @@ class DimeNet3D(nn.Module):
         )
         x = nn.silu(self.edge_emb_dense(e)) * slot[..., None].astype(pos.dtype)
 
-        # bases are computed in f32 (transcendentals); the block loop runs in
-        # compute_dtype so the N·M² triplet tensors are half-width in bf16
-        # mode. OutputBlock slot-sums back to f32, so p_node stays f32.
-        cdtype = jnp.dtype(self.compute_dtype)
-        x, rbf_c, sbf = x.astype(cdtype), rbf.astype(cdtype), sbf.astype(cdtype)
-        p_node = self.outputs[0](x, rbf_c, slot)
+        # bases and the M-sized edge-state chain stay f32; only the N·M²
+        # triplet tensors inside each InteractionBlock are cast to
+        # compute_dtype (half-width in bf16 mode — see the block docstring)
+        sbf = sbf.astype(jnp.dtype(self.compute_dtype))
+        p_node = self.outputs[0](x, rbf, slot)
         for blk, out in zip(self.blocks, self.outputs[1:]):
-            x = blk(x, rbf_c, sbf, slot, tmask, idx)
-            p_node = p_node + out(x, rbf_c, slot)
+            x = blk(x, rbf, sbf, slot, tmask, idx)
+            p_node = p_node + out(x, rbf, slot)
         p_node = p_node * mask[..., None].astype(pos.dtype)
         return p_node.reshape(*lead, n, -1), nbr.reshape(*lead, n, n)
 
